@@ -1,0 +1,166 @@
+package graft.mine
+
+import graft.kb._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * AMIE mining configuration — defaults mirror the reference
+ * (mining/src/main/java/amie/mining/AMIE.java:52-75, Parameters.txt):
+ * minHC 0.01, PCA 0.1, max 3 atoms; absolute support is scale-dependent
+ * (reference default 100) so it is a required knob here.
+ */
+final case class MinerConfig(
+    minSupport: Long = 100,
+    minHeadCoverage: Double = 0.01,
+    minPcaConfidence: Double = 0.1,
+    minStdConfidence: Double = 0.0,
+    maxDepth: Int = 3,
+    enableConstants: Boolean = false,
+    /** max occurrences of one relation in a rule (recursivity guard,
+      * DefaultMiningAssistant.java:212-214). */
+    maxRelationOccurrence: Int = 2)
+
+/**
+ * Level-synchronous BFS rule miner — the Spark re-architecture of the
+ * reference's multi-threaded queue search (AMIE.java:176-448,
+ * AMIEQueue.java:16-133).
+ *
+ * Key scale decision (SURVEY.md §7.4): the reference issues ONE KB query
+ * per candidate refinement; here an entire generation's dangling+closing
+ * candidates are counted in ONE Spark job — the candidate relation is
+ * left as a *variable* in the new atom, so
+ * `bindings(rule.atoms :+ newAtomTemplate).groupBy(candidateRel)
+ *  .agg(countDistinct(headVars))` yields the support of every possible
+ * extension at once (the reference's countProjectionBindings,
+ * KB.java:2599-2786, batched across rules by union + rule_id).
+ * Rules themselves stay on the driver (they are tiny); all data-touching
+ * work is Catalyst jobs over the cached triples DataFrame.
+ */
+final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
+
+  val stats: KGStats   = KGStats.compute(triples)
+  private val metrics  = new Metrics(triples, stats)
+  private val candCol  = "__cand_rel" // pred-position variable of the template atom
+
+  /** Search node: rule + best PCA confidence among output ancestors
+    * (skyline pruning floor, MiningAssistant.java:1212-1272). */
+  private final case class Node(rule: Rule, ancestorConf: Double)
+
+  private def headRel(r: Rule): String =
+    r.head.p match { case Const(p) => p; case _ => "" }
+
+  /** Per-head-relation support threshold (AMIE.java:457-467). */
+  private def supportThreshold(rel: String): Long =
+    math.max(config.minSupport,
+      math.ceil(config.minHeadCoverage * stats.size(rel)).toLong)
+
+  /** Seed rules `⇒ r(x,y)` for every relation large enough (DMA:81-88). */
+  private def seeds: Seq[Node] =
+    stats.preds
+      .filter(p => stats.size(p) >= supportThreshold(p))
+      .map(p => Node(Rule(Atom(Var("x"), Const(p), Var("y")), Nil), -1.0))
+
+  /** Mine and return all output rules, deterministically ordered. */
+  def mine(): Seq[ScoredRule] = {
+    val seen   = scala.collection.mutable.Set[String]()
+    val output = scala.collection.mutable.ArrayBuffer[ScoredRule]()
+    var level  = seeds
+    seeds.foreach(n => seen += n.rule.canonical)
+
+    while (level.nonEmpty) {
+      // ---- Phase A: score closed rules of this generation (one job) ----
+      val closed = level.filter(_.rule.isClosed)
+      val scored: Map[String, ScoredRule] =
+        metrics.scoreAll(closed.map(_.rule))
+          .map(s => s.rule.canonical -> s).toMap
+
+      val outputConf = scala.collection.mutable.Map[String, Double]()
+      for (n <- closed) {
+        val s = scored(n.rule.canonical)
+        val pass = s.support >= supportThreshold(headRel(n.rule)) &&
+          s.headCoverage >= config.minHeadCoverage &&
+          s.stdConfidence >= config.minStdConfidence &&
+          s.pcaConfidence >= config.minPcaConfidence &&
+          s.pcaConfidence > n.ancestorConf // skyline
+        if (pass) { output += s; outputConf(n.rule.canonical) = s.pcaConfidence }
+      }
+
+      // ---- Phase B: refine (one candidate-counting job for the level) ----
+      val refinable = level.filter { n =>
+        n.rule.length < config.maxDepth &&
+        scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0) // perfect-rule pruning
+      }
+      val children = refineLevel(refinable, outputConf.toMap)
+      level = children.filter(c => seen.add(c.rule.canonical))
+    }
+    output.toSeq.sortBy(s => (headRel(s.rule), -s.pcaConfidence, -s.support, s.rule.amieString))
+  }
+
+  /**
+   * Batched dangling (O_D) + closing (O_C) operators (SURVEY.md §2.9).
+   * Both reduce to the same template job; instantiation (O_I) reuses the
+   * dangling bindings with the fresh variable as the group key.
+   */
+  private def refineLevel(nodes: Seq[Node], outputConf: Map[String, Double]): Seq[Node] = {
+    if (nodes.isEmpty) return Nil
+
+    // Enumerate (node, template-atom) pairs.
+    val templates = scala.collection.mutable.ArrayBuffer[(Int, Atom, Boolean)]() // (idx, atom, isDangling)
+    nodes.zipWithIndex.foreach { case (n, i) =>
+      val r    = n.rule
+      val vars = r.allVars
+      val used = vars.map(_.name).toSet
+      val fresh = Var(Iterator.from(0).map(k => s"z$k").find(!used(_)).get)
+      val open = r.openVars.map(_.name).toSet
+      val lastLevel = r.length + 1 == config.maxDepth
+      // O_D dangling: join one existing var, other side fresh — only if the
+      // child can still be closed afterwards (AMIE.java:421-425).
+      if (!lastLevel) {
+        for (v <- vars) {
+          templates += ((i, Atom(v, Var(candCol), fresh), true))
+          templates += ((i, Atom(fresh, Var(candCol), v), true))
+        }
+      }
+      // O_C closing: both sides existing vars. At the last level the child
+      // must end up closed: the new atom must cover all open vars
+      // (DMA:127-137 max-length pruning).
+      for {
+        v1 <- vars; v2 <- vars if v1 != v2
+        closesAll = open.subsetOf(Set(v1.name, v2.name))
+        if !lastLevel || closesAll
+      } templates += ((i, Atom(v1, Var(candCol), v2), false))
+    }
+
+    // One job: per (template, candidate relation) → child support.
+    val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
+      val r  = nodes(idx).rule
+      val df = QueryBuilder.bindings(triples, r.atoms :+ tpl)
+      val hv = r.headVars
+      val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
+               else countDistinct(struct(hv.map(v => col(v.name)): _*))
+      df.groupBy(col(candCol)).agg(cd.as("supp"))
+        .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
+    }
+    val counted = parts.reduce(_ union _).collect()
+
+    val children = scala.collection.mutable.ArrayBuffer[Node]()
+    for (row <- counted) {
+      val (idx, tpl, _) = templates(row.getInt(0))
+      val rel           = row.getString(1)
+      val supp          = row.getLong(2)
+      val parent        = nodes(idx)
+      val newAtom       = tpl.copy(p = Const(rel))
+      val child         = Rule(parent.rule.head, parent.rule.body :+ newAtom)
+      val ok = supp >= supportThreshold(headRel(parent.rule)) &&
+        !parent.rule.atoms.contains(newAtom) &&
+        child.relationOccurrences(rel) <= config.maxRelationOccurrence
+      if (ok) {
+        val floor = math.max(parent.ancestorConf,
+          outputConf.getOrElse(parent.rule.canonical, -1.0))
+        children += Node(child, floor)
+      }
+    }
+    children.toSeq
+  }
+}

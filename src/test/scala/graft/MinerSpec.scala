@@ -1,0 +1,57 @@
+package graft
+
+import graft.kb._
+import graft.mine._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end mining on the reference's 12/17-fact fixture KBs. */
+class MinerSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  val cfg = MinerConfig(
+    minSupport = 2, minHeadCoverage = 0.1, minPcaConfidence = 0.1,
+    maxDepth = 3)
+
+  test("mines worksAt∧isLocatedIn ⇒ livesIn on the base fixture with exact metrics") {
+    val rules = new Miner(Fixtures.baseKB(spark), cfg).mine()
+    assert(rules.nonEmpty)
+    val r1 = rules.find { s =>
+      s.rule.head.p == Const("livesIn") && s.rule.body.size == 2 &&
+      s.rule.body.map(_.p).toSet == Set(Const("worksAt"), Const("isLocatedIn"))
+    }
+    assert(r1.isDefined, s"expected R1 among:\n${rules.map(_.rule.amieString).mkString("\n")}")
+    assert(r1.get.support == 3)
+    assert(r1.get.headCoverage == 0.75)
+    assert(r1.get.stdConfidence == 1.0)
+    assert(r1.get.pcaConfidence == 1.0)
+  }
+
+  test("no duplicate canonical rules in output") {
+    val rules = new Miner(Fixtures.extendedKB(spark), cfg).mine()
+    val canon = rules.map(_.rule.canonical)
+    assert(canon.distinct.size == canon.size)
+  }
+
+  test("all output rules are closed and meet thresholds") {
+    val rules = new Miner(Fixtures.extendedKB(spark), cfg).mine()
+    rules.foreach { s =>
+      assert(s.rule.isClosed, s.rule.toString)
+      assert(s.support >= 2)
+      assert(s.pcaConfidence >= 0.1)
+    }
+  }
+
+  test("canonical form identifies renamed/permuted rules") {
+    val a = Rule(
+      Atom(Var("x"), Const("livesIn"), Var("c")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")), Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    val b = Rule(
+      Atom(Var("p"), Const("livesIn"), Var("q")),
+      List(Atom(Var("r"), Const("isLocatedIn"), Var("q")), Atom(Var("p"), Const("worksAt"), Var("r"))))
+    assert(a.canonical == b.canonical)
+    val c = Rule(
+      Atom(Var("p"), Const("livesIn"), Var("q")),
+      List(Atom(Var("q"), Const("isLocatedIn"), Var("r")), Atom(Var("p"), Const("worksAt"), Var("r"))))
+    assert(a.canonical != c.canonical)
+  }
+}
