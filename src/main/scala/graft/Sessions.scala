@@ -1,0 +1,22 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for the engine's Spark tuning: AQE on (runtime re-plan +
+  * skew-join splitting, the north rule's skew story), shuffle partitions
+  * sized to the core count (not the 200 default), UTC, no UI. */
+object Sessions {
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    tune(SparkSession.builder().master(s"local[$cores]"), cores, appName)
+      .getOrCreate()
+
+  def tune(b: SparkSession.Builder, cores: Int, appName: String): SparkSession.Builder =
+    b.appName(appName)
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+}

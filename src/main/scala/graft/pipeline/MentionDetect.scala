@@ -1,0 +1,39 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Stage 1 — batched mention detection over interleaved docs.
+ *
+ * One narrow pass: `posexplode(spans)` keeps the span order as
+ * `span_idx`, media spans are filtered out (they carry no triple), and
+ * the relation mention is pulled out with a single codegen'd
+ * `regexp_extract` (no UDF, stays inside WholeStageCodegen). The docs
+ * table itself is never mutated — the span-sequence invariant
+ * (kind, text, media_ref, order) is checked against the untouched input.
+ */
+object MentionDetect {
+
+  /** `<alias> <relation> <alias>.` with the relation alternation compiled
+    * from the vocabulary — anchored so partial junk never half-matches. */
+  private def pattern: String = {
+    val relAlt = Corpus.relations.map(java.util.regex.Pattern.quote).mkString("|")
+    s"^(.+?) ($relAlt) (.+?)\\.$$"
+  }
+
+  /** docs(doc_id, spans) → mentions(doc_id, span_idx, subj_alias, rel, obj_alias). */
+  def mentions(docs: DataFrame): DataFrame = {
+    val p = pattern
+    docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
+      .where(col("span.kind") === "text")
+      .select(
+        col("doc_id"),
+        col("span_idx"),
+        regexp_extract(col("span.text"), p, 1).as("subj_alias"),
+        regexp_extract(col("span.text"), p, 2).as("rel"),
+        regexp_extract(col("span.text"), p, 3).as("obj_alias"))
+      .where(col("rel") =!= "") // text spans that parse as a mention
+  }
+}

@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The KG-construction pipeline (BASELINE.json north_rule):
+ *
+ *   docs → MentionDetect → Canonicalize (CC over alias graph)
+ *        → LinkScore (broadcast candidate join, top-1)
+ *        → Materialize (subj, pred, obj, lineage), hash-bucketed by subj
+ *
+ * Every stage is a checkpointed parquet write with a `_manifest.json`
+ * (per-partition rows + checksums = lineage; input fingerprint = resume
+ * key). On restart, completed stages are skipped and their output reused
+ * — `runsExecuted`/`runsSkipped` expose this for tests.
+ *
+ * Scale decisions (explicit, per north_rule):
+ *  - the materialize shuffle is *salted*: head subjects (power-law) would
+ *    otherwise pin whole hash buckets onto single tasks, so rows are
+ *    repartitioned by (bucket, salt) with salt = xxhash64(doc,span) % S;
+ *    the on-disk layout stays bucketed by subject hash (directory
+ *    partition column `bucket`), which later rule-quality joins prune on;
+ *  - AQE (adaptive + skew-join) is expected on in the session (Sessions);
+ *  - the alias/candidate tables are vocabulary-sized → broadcast joins.
+ */
+final class Pipeline(
+    spark: SparkSession,
+    workDir: String,
+    nBuckets: Int = 32,
+    saltBits: Int = 3) {
+
+  var runsExecuted: List[String] = Nil
+  var runsSkipped: List[String]  = Nil
+
+  private def stageDir(name: String) = s"$workDir/$name"
+
+  /** Run one resumable stage: skip when a complete manifest matches the
+    * input fingerprint, else compute → write parquet → write manifest. */
+  def stage(name: String, inputFp: String, partitionCols: Seq[String] = Nil)(
+      compute: => DataFrame): DataFrame = {
+    val dir = stageDir(name)
+    Manifest.read(dir) match {
+      case Some(m) if m.complete && m.inputFingerprint == inputFp =>
+        runsSkipped ::= name
+        spark.read.parquet(dir)
+      case _ =>
+        runsExecuted ::= name
+        val df = compute
+        val w  = df.write.mode("overwrite")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(dir)
+        val written = spark.read.parquet(dir)
+        Manifest.write(dir, StageManifest(
+          stage = name,
+          inputFingerprint = inputFp,
+          totalRows = written.count(),
+          partitions = Manifest.partitionStats(written),
+          complete = true))
+        spark.read.parquet(dir)
+    }
+  }
+
+  /** Full run: docs → triples(subj, pred, obj, src_doc, src_span, bucket). */
+  def run(docs: Dataset[Doc]): DataFrame = {
+    val docsDF = docs.toDF()
+    val docsFp = Manifest.fingerprint(docsDF.select("doc_id"))
+
+    val mentions = stage("mentions", docsFp)(MentionDetect.mentions(docsDF))
+
+    val aliasFp  = Manifest.fingerprint(
+      mentions.select(col("subj_alias").as("a"))
+        .union(mentions.select(col("obj_alias").as("a"))).distinct())
+    val aliasMap = stage("alias_map", aliasFp)(Canonicalize.aliasMap(mentions))
+
+    val linked = stage("linked", docsFp + "|" + aliasFp)(
+      LinkScore.link(mentions, aliasMap))
+
+    stage("triples", docsFp + "|" + aliasFp, partitionCols = Seq("bucket")) {
+      val salted = linked
+        .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
+        .withColumn("salt",
+          pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)).cast("int"))
+        .repartition(col("bucket"), col("salt"))
+      salted.select(
+        col("subj"), col("rel").as("pred"), col("obj"),
+        col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
+        col("bucket"))
+    }
+  }
+
+  /** The emitted graph as a plain (subj, pred, obj) KB for rule mining. */
+  def triples(): DataFrame =
+    spark.read.parquet(stageDir("triples")).select("subj", "pred", "obj")
+}

@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Connected components with alternating large-star / small-star rounds
+ * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected
+ * Components in MapReduce and Beyond", SoCC 2014) expressed as pure
+ * DataFrame transforms: each round is one shuffle
+ * (`groupBy(u).agg(min(v))` + join back). Converges in O(log n) rounds on
+ * any graph, so it scales to alias graphs with 10⁹+ nodes, unlike naive
+ * min-label propagation whose round count is the graph diameter.
+ *
+ * Lineage is truncated with `localCheckpoint` every round — on a real
+ * cluster this becomes a reliable `checkpoint` to the job's checkpoint
+ * dir; either way the iteration count stays bounded and each round's plan
+ * is flat. Skewed star centers (head aliases) are exactly what AQE's
+ * skew-join splitting handles; sessions enable it (see graft.Sessions).
+ */
+object ConnectedComponents {
+
+  /**
+   * @param edges DataFrame with two string columns (`src`, `dst`); treated
+   *              as undirected, self-loops ignored.
+   * @return DataFrame (id, component) covering every node appearing in
+   *         `edges`; `component` = lexicographically-minimal reachable id.
+   */
+  def run(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // undirected, deduped, no self-loops; canonical orientation big→small
+    // (an edge (u,v) with v < u means "u points toward candidate root v")
+    var e = edges.toDF("src", "dst")
+      .where($"src" =!= $"dst")
+      .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
+      .distinct()
+      .localCheckpoint(true)
+
+    def sig(df: DataFrame) =
+      df.agg(count(lit(1)), bit_xor(xxhash64($"u", $"v"))).collect()(0)
+
+    var prevSig   = sig(e)
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIter) {
+      // -- large-star: for every node, hang its LARGER neighbors under the
+      //    minimum of its neighborhood (incl. itself).
+      val sym = e.select($"u", $"v")
+        .union(e.select($"v".as("u"), $"u".as("v")))
+      val mins  = sym.groupBy("u").agg(min("v").as("mn"))
+      val large = sym.join(mins, "u")
+        .where($"v" > $"u")
+        .select($"v".as("u"), least($"mn", $"u").as("v"))
+        .where($"u" =!= $"v")
+        .distinct()
+
+      // -- small-star: for every node, link its SMALLER neighbors (and
+      //    itself) to the minimum of those.
+      val lt  = large.where($"v" < $"u") // already oriented, but keep explicit
+      val sm  = lt.groupBy("u").agg(min("v").as("m"))
+      val small = lt.join(sm, "u")
+        .where($"v" =!= $"m")
+        .select($"v".as("u"), $"m".as("v"))
+        .union(sm.select($"u", $"m".as("v")))
+        .where($"u" =!= $"v")
+        .distinct()
+        .localCheckpoint(true)
+
+      // fixpoint test on the (cheap, already-shuffled) edge set:
+      // count + order-independent hash.
+      val s = sig(small)
+      converged = s == prevSig
+      prevSig = s
+      e = small
+      iter += 1
+    }
+
+    // stars: every remaining edge is (node, root); roots map to themselves
+    val nodes = e.select($"u".as("id"), $"v".as("component"))
+    val roots = e.select($"v".as("id")).distinct()
+      .select($"id", $"id".as("component"))
+    nodes.union(roots)
+      .groupBy("id").agg(min("component").as("component"))
+  }
+}
