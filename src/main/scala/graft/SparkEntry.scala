@@ -1,6 +1,7 @@
 package graft
 
 import graft.kb._
+import graft.functions.{Dedup, Multimodal, Similarity, TextOps}
 import graft.mine._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -195,9 +196,200 @@ object SparkEntry {
       import s.implicits._
       Seq(Ops.containsFact(tpchTriples(s, dir), "n1", "nationRegion", "r1"))
         .toDF("contains")
+    },
+
+    // ===== training-data pipeline operators (documents / embeddings) =====
+    "text_lang_id"      -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
+    "text_quality"      -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
+    "text_token_counts" -> ((s, dir) => TextOps.tokenCounts(t(s, dir, "documents"))),
+    "text_fingerprint"  -> ((s, dir) => TextOps.fingerprint(t(s, dir, "documents"))),
+    "text_simhash"      -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
+    "dedup_exact"       -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), minJaccard = 0.3)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.embeddingNearDups(t(s, dir, "embeddings"), minCosine = 0.3)),
+    "sim_bruteforce_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"), nQueries = 10, k = 5)),
+    "sim_lsh_topk" -> ((s, dir) =>
+      Similarity.lshTopK(t(s, dir, "embeddings"), planes = 8, k = 3)),
+    "media_stats" -> ((s, dir) =>
+      Multimodal.mediaStats(Multimodal.assetsFromDocs(t(s, dir, "documents")))),
+    "media_decode" -> { (s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.assetsFromDocs(t(s, dir, "documents")))
+        .toDF().select("media_id", "kind", "width", "height", "n_frames")
     })
 
-  def oracleSql: Map[String, String] = Map(
+  // ----- DuckDB oracle SQL builders for the training-data operators -----
+  // (generated from the SAME Scala constants the Spark operators use)
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+  private def hash32Sql(inner: String) =
+    s"CAST(('0x' || substr(md5($inner), 1, 8)) AS BIGINT)"
+  private val P = TextOps.P
+
+  private def langIdSql: String = {
+    val scores = TextOps.LangProfiles.map { case (l, ws) =>
+      s"len(list_filter(toks, t -> t IN (${ws.map(w => s"'$w'").mkString(", ")}))) AS s_$l"
+    }.mkString(",\n  ")
+    val g = TextOps.LangProfiles.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val cases = TextOps.LangProfiles
+      .map { case (l, _) => s"WHEN s_$l = g THEN '$l'" }.mkString(" ")
+    s"""WITH tok AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id,
+       |  $scores
+       |FROM tok),
+       |gg AS (SELECT *, $g AS g FROM s)
+       |SELECT doc_id, CASE WHEN g = 0 THEN 'und' $cases ELSE 'und' END AS predicted_lang
+       |FROM gg""".stripMargin
+  }
+
+  private def qualitySql: String = {
+    val stop = TextOps.LangProfiles.flatMap(_._2).distinct.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+       |SELECT doc_id, len(toks) AS n_tok, length(text) AS n_char,
+       |  CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+       |  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+       |  CAST(len(list_filter(toks, t -> t IN ($stop))) AS DOUBLE) / len(toks) AS stop_ratio,
+       |  CAST(list_reduce(list_prepend(0::BIGINT, list_transform(toks, t -> length(t)::BIGINT)), (a, x) -> a + x) AS DOUBLE) / len(toks) AS mean_tok_len
+       |FROM t""".stripMargin
+  }
+
+  private def minhashSql: String = {
+    val sigCols = (0 until Dedup.Bands * Dedup.Rows)
+      .map(i => s"min((${Dedup.A(i)} * h + ${Dedup.B(i)}) % $P) AS mh$i").mkString(",\n  ")
+    val bandRows = (0 until Dedup.Bands).map { b =>
+      val cols = (0 until Dedup.Rows).map(r => s"mh${b * Dedup.Rows + r}")
+      s"SELECT doc_id, $b AS band, ${cols.mkString(" || ':' || ")} AS bsig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hash32Sql("tk")} % $P AS h FROM tok),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |FROM h GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""".stripMargin
+  }
+
+  private def simhashCte: String = {
+    val sums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
+    val bits = (0 until 32)
+      .map(b => s"CASE WHEN c$b * 2 > n THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+       |h AS (SELECT doc_id, ${hash32Sql("tk")} AS h FROM tok),
+       |agg AS (SELECT doc_id, $sums, count(*) AS n FROM h GROUP BY doc_id),
+       |sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM agg)""".stripMargin
+  }
+
+  private def cosSql(a: String, b: String): String = {
+    def norm(v: String) =
+      s"sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform($v, x -> x::DOUBLE * x::DOUBLE)), (p, q) -> p + q))"
+    s"""(list_reduce(list_prepend(0.0::DOUBLE,
+       |   list_transform(range(1, len($a) + 1), i -> $a[i]::DOUBLE * $b[i]::DOUBLE)),
+       |   (p, q) -> p + q)
+       | / (${norm(a)} * ${norm(b)}))""".stripMargin.replace("\n", " ")
+  }
+
+  private def planeDotSql(j: Int, v: String): String =
+    s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($v) + 1),
+       | i -> (CASE WHEN CAST(('0x' || substr(md5('${j}_' || CAST(i AS VARCHAR)), 1, 2)) AS BIGINT) % 2 = 1
+       |       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) * $v[i]::DOUBLE)), (p, q) -> p + q)"""
+      .stripMargin.replace("\n", " ")
+
+  private def lshBucketSql(v: String): String =
+    (0 until 8).map(j =>
+      s"(CASE WHEN ${planeDotSql(j, v)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  private def assetsCte: String =
+    s"""assets AS (SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+       |  (['image','audio','video'])[1 + ${hash32Sql("CAST(doc_id AS VARCHAR)")} % 3] AS kind,
+       |  encode(text) AS payload FROM documents),
+       |a2 AS (SELECT media_id, kind, payload,
+       |  CAST(octet_length(payload) AS BIGINT) AS byte_len,
+       |  lower(substr(hex(payload), 1, 8)) AS header_hex FROM assets)""".stripMargin
+
+  private def trainingOracle: Map[String, String] = Map(
+    "text_lang_id" -> langIdSql,
+    "text_quality" -> qualitySql,
+    "text_token_counts" ->
+      raw"""SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS ws_tokens,
+           |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_tokens
+           |FROM documents""".stripMargin,
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id, list_reduce(list_prepend(0::BIGINT,
+         |  list_transform(toks, t -> ${hash32Sql("t")} % $P)),
+         |  (a, x) -> (a * 131 + x) % $P) AS fingerprint
+         |FROM t""".stripMargin,
+    "text_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sh""".stripMargin,
+    "dedup_exact" ->
+      """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        |FROM documents""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, source, $toksSql AS toks FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |  unnest(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS ng
+         |  FROM t WHERE len(toks) >= 2),
+         |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b,
+         |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
+    "dedup_minhash_lsh" -> minhashSql,
+    "dedup_simhash" ->
+      s"""WITH $simhashCte,
+         |shs AS (SELECT sh.doc_id, simhash, source FROM sh JOIN documents USING (doc_id))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+         |FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+         |p AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qe", "e.embedding")} AS score
+         |  FROM q JOIN embeddings e ON e.vec_id <> query_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
+         |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5""".stripMargin,
+    "sim_lsh_topk" ->
+      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
+         |p AS (SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
+         |    ${cosSql("a.embedding", "bb.embedding")} AS score
+         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+    "media_stats" ->
+      s"""WITH $assetsCte
+         |SELECT kind, count(*) AS n, SUM(byte_len) AS total_bytes,
+         |  min(byte_len) AS min_bytes, max(byte_len) AS max_bytes,
+         |  count(DISTINCT header_hex) AS distinct_headers
+         |FROM a2 GROUP BY kind""".stripMargin,
+    "media_decode" ->
+      s"""WITH $assetsCte,
+         |d AS (SELECT media_id, kind, byte_len,
+         |  CAST(('0x' || substr(hex(payload), 1, 2)) AS BIGINT) AS b0,
+         |  CAST(('0x' || substr(hex(payload), 3, 2)) AS BIGINT) AS b1 FROM a2)
+         |SELECT media_id, kind,
+         |  CAST(16 + b0 % 64 AS INT) AS width,
+         |  CAST(16 + b1 % 64 AS INT) AS height,
+         |  CAST(CASE WHEN kind = 'video' THEN 1 + byte_len % 30 ELSE 1 END AS INT) AS n_frames
+         |FROM d""".stripMargin)
+
+  def oracleSql: Map[String, String] = trainingOracle ++ Map(
     "kb_stats" ->
       s"""$triplesCte
          |SELECT pred, count(*) AS size,

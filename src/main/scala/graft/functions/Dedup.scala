@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Document deduplication for training-data pipelines, four flavors:
+ *
+ *  - exact:     hash-groupBy on the full text — one shuffle on md5(text);
+ *  - n-gram Jaccard: word-bigram set similarity between blocked pairs;
+ *  - MinHash+LSH: shingle → K minhashes → banded signatures → bucket
+ *    join, the sub-quadratic candidate generator (Broder '97 / MMDS ch.3);
+ *  - SimHash:   32-bit sign-aggregated token-hash fingerprint; near-dups
+ *    have small Hamming distance (Charikar '02).
+ *
+ * Scale notes: the LSH bucket join is the only pair-producing step and
+ * its cost is bounded by bucket sizes, not corpus²; blocking (`source`)
+ * bounds the Jaccard/SimHash pair spaces the same way. All hashes are
+ * md5-derived integers mod a 31-bit prime → engine-portable and exact
+ * (see [[TextOps.tokHash32]]).
+ */
+object Dedup {
+
+  import TextOps.{P, tokHash32}
+
+  /** Exact dedup: every doc mapped to the smallest doc_id sharing its
+    * exact text. keeper == doc_id ⇔ the doc survives dedup. */
+  def exact(docs: DataFrame): DataFrame = {
+    val keepers = docs.groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"))
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(keepers, "h")
+      .select(col("doc_id"), col("keeper"))
+  }
+
+  /** Distinct word-bigram shingles per doc (with the blocking column). */
+  private def shingles(docs: DataFrame): DataFrame =
+    TextOps.withTokens(docs)
+      .where(expr("size(toks) >= 2"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(expr(
+          "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")))
+          .as("ng"))
+
+  /**
+   * n-gram (word-bigram) Jaccard near-dup pairs within a `source` block:
+   * jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ `minJaccard`, doc_a < doc_b.
+   * Intersections come from one self-join on the shingle (shuffle on
+   * `ng`), sizes from one aggregation — no quadratic all-pairs scan.
+   */
+  def ngramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val sh    = shingles(docs)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.ng") === col("b.ng") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash parameters: K = Bands × Rows hash functions
+    * h_i(x) = (A(i)·x + B(i)) mod P over 31-bit token hashes. Fixed odd
+    * multipliers keep products < 2^51 (no ANSI overflow). */
+  val Bands = 4
+  val Rows  = 3
+  def A(i: Int): Long = 2L * i + 3
+  def B(i: Int): Long = 7919L * (i + 1)
+
+  /** Per-doc minhash signature columns mh0..mh{K-1}: one explode of the
+    * distinct token set, K parallel `min` aggregates. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("t"))
+      .withColumn("h", expr(s"${tokHash32("t")} % $P"))
+    val aggs = (0 until Bands * Rows).map(i =>
+      min(expr(s"(${A(i)} * h + ${B(i)}) % $P")).as(s"mh$i"))
+    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: docs sharing at least one band signature
+   * (band = concatenated row minhashes). The stack of per-band
+   * projections unions into one bucket join keyed by (band, signature) —
+   * the classic sub-quadratic near-dup candidate generator.
+   */
+  def minhashLsh(docs: DataFrame): DataFrame = {
+    val sig = minhashSignatures(docs)
+    val bands = (0 until Bands).map { b =>
+      val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
+      sig.select(col("doc_id"), lit(b).as("band"),
+        concat_ws(":", cols.map(col): _*).as("bsig"))
+    }.reduce(_ union _)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash per doc: bit b of the fingerprint is set iff more
+    * than half of the doc's distinct tokens have bit b set in their
+    * 32-bit hash. 32 conditional sums in ONE aggregation — no bit
+    * explosion. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextOps.withTokens(docs)
+      .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("t"))
+      .withColumn("h", expr(tokHash32("t")))
+    val aggs = (0 until 32).map(b =>
+      sum(expr(s"(h >> $b) & 1")).as(s"c$b")) :+ count(lit(1)).as("n")
+    val agg = toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val hash = (0 until 32).map(b =>
+      when(col(s"c$b") * 2 > col("n"), lit(1L << b)).otherwise(0L))
+      .reduce(_ + _)
+    agg.select(col("doc_id"), hash.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a `source` block: Hamming distance
+    * (popcount of XOR) ≤ maxHamming, doc_a < doc_b. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sh = simhash(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+    sh.as("a").join(sh.as("b"),
+        col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .withColumn("hamming", bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("hamming"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - brute-force cosine top-k — the exact baseline; a blocked cross join
+ *    with one codegen'd fold per pair;
+ *  - LSH-bucketed ANN — random-hyperplane signatures (Charikar '02):
+ *    vectors land in 2^planes sign buckets, search only within the
+ *    bucket. At 100 TB the bucket join replaces the quadratic cross
+ *    join; recall is tuned by planes/band count.
+ *
+ * All dot products fold left-to-right over double-cast elements
+ * (`aggregate(zip_with(...))`), so any engine evaluating the same fold
+ * shape reproduces scores bit-for-bit — the property the DuckDB oracle
+ * compare relies on. Hyperplane signs derive from md5 (engine-portable),
+ * not from an RNG.
+ */
+object Similarity {
+
+  /** cosine(a, b) as a Column expression over two array<float> columns. */
+  def cosineExpr(a: String, b: String): Column = expr(
+    s"""aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)),
+       |          0D, (acc, v) -> acc + v)
+       | / (sqrt(aggregate($a, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double)))
+       |    * sqrt(aggregate($b, 0D, (acc, x) -> acc + cast(x as double) * cast(x as double))))
+       |""".stripMargin.replace("\n", " "))
+
+  /**
+   * Exact top-k cosine neighbors for the query set `vec_id < nQueries`
+   * (rank by score desc, then neighbor id — fully deterministic).
+   */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val q = emb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = q.join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineExpr("qe", "ne"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Signed projection of `embedding` onto deterministic hyperplane `j`:
+    * component i has sign +1 iff the low bit of md5("{j}_{i}") is 1. */
+  private def planeDot(j: Int): Column = expr(
+    s"""aggregate(zip_with(embedding, sequence(1, size(embedding)), (x, i) ->
+       |  (case when cast(conv(substring(md5(concat('$j', '_', cast(i as string))), 1, 2), 16, 10) as bigint) % 2 = 1
+       |        then 1.0D else -1.0D end) * cast(x as double)),
+       |  0D, (acc, v) -> acc + v)""".stripMargin.replace("\n", " "))
+
+  /** 2^planes sign-bucket id per vector. */
+  def lshBucket(emb: DataFrame, planes: Int): DataFrame = {
+    val bucket = (0 until planes)
+      .map(j => when(planeDot(j) >= 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    emb.withColumn("bucket", bucket)
+  }
+
+  /**
+   * LSH-bucketed ANN: top-k cosine neighbors *within the same sign
+   * bucket*. The join is keyed on the bucket — cost ∝ Σ bucket², not n².
+   */
+  def lshTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
+    val b = lshBucket(emb, planes)
+    val pairs = b.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
+      .join(b.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket")),
+        Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosineExpr("qe", "ne"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Embedding-cosine near-duplicates: same-`label` pairs (blocking) with
+    * cosine ≥ minCosine, id_a < id_b. */
+  def embeddingNearDups(emb: DataFrame, minCosine: Double): DataFrame =
+    emb.select(col("vec_id").as("id_a"), col("embedding").as("qe"), col("label"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("ne"), col("label")),
+        Seq("label"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosineExpr("qe", "ne"))
+      .where(col("cos") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cos"))
+}
