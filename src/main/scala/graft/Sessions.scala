@@ -19,4 +19,9 @@ object Sessions {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // shuffle/spill on tmpfs when present — a single local disk does not
+      // scale with task slots the way per-executor disks do on a cluster
+      .config("spark.local.dir",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark-local"
+        else System.getProperty("java.io.tmpdir"))
 }

@@ -35,13 +35,31 @@ object Canonicalize {
   }
 
   /**
-   * alias → canonical-entity map: run CC, then name each component by its
-   * smallest *alias* member (keys are filtered out before the min).
+   * alias → canonical-entity map.
+   *
+   * Key contraction first: every blocking-key group is a star, so one
+   * `groupBy(key).min(alias)` collapses each key to alias→representative
+   * edges — this removes the key nodes, halves the graph, and cuts the
+   * diameter before the generic CC loop runs (each saved CC iteration is
+   * a full shuffle round at 10⁹-alias scale). Connectivity is preserved
+   * exactly: two aliases share a key iff both link to that key's rep.
    */
   def aliasMap(mentions: DataFrame): DataFrame = {
-    val cc = ConnectedComponents.run(aliasKeyEdges(mentions))
-    val aliasRows = cc.where(!col("id").startsWith("k1:") && !col("id").startsWith("k2:"))
-    val repr = aliasRows.groupBy("component").agg(min("id").as("canonical"))
-    aliasRows.join(repr, "component").select(col("id").as("alias"), col("canonical"))
+    // materialize once: the alias-key edge set is reused three times below
+    // (reps, contraction join, singleton fallback) and is vocabulary-sized
+    val edges = aliasKeyEdges(mentions).localCheckpoint(true) // (src = alias, dst = key)
+    val reps  = edges.groupBy("dst").agg(min("src").as("rep"))
+    val contracted = edges.join(reps, "dst")
+      .where(col("src") =!= col("rep"))
+      .select(col("src"), col("rep").as("dst"))
+    val cc = ConnectedComponents.run(contracted)
+    val repr = cc.groupBy("component").agg(min("id").as("canonical"))
+    val mapped = cc.join(repr, "component")
+      .select(col("id").as("alias"), col("canonical"))
+    // aliases whose key groups were singletons never reach CC — they are
+    // their own canonical form
+    val all = edges.select(col("src").as("alias")).distinct()
+    all.join(mapped, Seq("alias"), "left")
+      .select(col("alias"), coalesce(col("canonical"), col("alias")).as("canonical"))
   }
 }

@@ -31,20 +31,24 @@ object LinkScore {
         .otherwise(0.5).as("score"))
   }
 
-  /** mentions + aliasMap → linked mentions with canonical subj/obj. */
+  /** Best candidate per alias — the top-1 reduction happens on the
+    * vocabulary-sized candidate table, NOT on the mention stream: scores
+    * depend only on (alias, candidate), so reducing before the broadcast
+    * join is equivalent and removes a corpus-sized shuffle. */
+  def bestCandidates(aliasMap: DataFrame): DataFrame =
+    candidates(aliasMap)
+      .groupBy("alias")
+      .agg(max_by(col("canonical"), struct(col("score"), col("canonical"))).as("canonical"))
+
+  /** mentions + aliasMap → linked mentions with canonical subj/obj.
+    * Two map-side (broadcast) joins; zero shuffles of the mention stream. */
   def link(mentions: DataFrame, aliasMap: DataFrame): DataFrame = {
-    val cand = candidates(aliasMap)
-    val subj = cand.select(col("alias").as("subj_alias"),
-      col("canonical").as("s_cand"), col("score").as("s_score"))
-    val obj = cand.select(col("alias").as("obj_alias"),
-      col("canonical").as("o_cand"), col("score").as("o_score"))
+    val best = bestCandidates(aliasMap)
+    val subj = best.select(col("alias").as("subj_alias"), col("canonical").as("subj"))
+    val obj  = best.select(col("alias").as("obj_alias"), col("canonical").as("obj"))
     mentions
       .join(broadcast(subj), "subj_alias")
       .join(broadcast(obj), "obj_alias")
-      .groupBy("doc_id", "span_idx", "rel")
-      .agg(
-        max_by(col("s_cand"), struct(col("s_score"), col("s_cand"))).as("subj"),
-        max_by(col("o_cand"), struct(col("o_score"), col("o_cand"))).as("obj"))
       .select("doc_id", "span_idx", "subj", "rel", "obj")
   }
 }

@@ -18,11 +18,14 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
  * in the sandbox; the observable properties — partitioned layout,
  * resumable commits, per-file stats — are the same).
  */
-final case class PartitionStat(id: Int, rows: Long, checksum: Long)
+final case class PartitionStat(id: Int, rows: Long, bytes: Long, checksum: Long)
 final case class StageManifest(
     stage: String,
     inputFingerprint: String,
     totalRows: Long,
+    /** order-independent xxhash64-XOR of all rows, captured by observe()
+      * during the write job itself — no second pass over the output. */
+    globalChecksum: Long,
     partitions: Seq[PartitionStat],
     complete: Boolean)
 
@@ -38,15 +41,42 @@ object Manifest {
     s"${r.getLong(0)}:${r.getLong(1)}"
   }
 
-  /** Per-partition lineage counters of a materialized DataFrame. */
+  /** Per-partition lineage counters of a materialized DataFrame — the
+    * full-content variant (one extra pass; used by tests/audits). */
   def partitionStats(df: DataFrame): Seq[PartitionStat] = {
     val cols = df.columns.map(c => col(c).cast("string"))
     df.groupBy(spark_partition_id().as("pid"))
       .agg(count(lit(1)).as("rows"),
         coalesce(bit_xor(xxhash64(cols.toSeq: _*)), lit(0L)).as("checksum"))
       .collect()
-      .map(r => PartitionStat(r.getInt(0), r.getLong(1), r.getLong(2)))
+      .map(r => PartitionStat(r.getInt(0), r.getLong(1), 0L, r.getLong(2)))
       .sortBy(_.id).toSeq
+  }
+
+  /**
+   * Per-file lineage counters straight from the parquet footers:
+   * row counts from block metadata, bytes from file status — METADATA
+   * ONLY, no data read. This is the Iceberg-manifest discipline (per-file
+   * record_count/file_size) and the only viable option when a stage
+   * output is petabytes. File order is path-sorted → deterministic ids.
+   */
+  def footerStats(dir: String, hadoopConf: org.apache.hadoop.conf.Configuration): Seq[PartitionStat] = {
+    import org.apache.hadoop.fs.Path
+    val p  = new Path(dir)
+    val fs = p.getFileSystem(hadoopConf)
+    val it = fs.listFiles(p, true)
+    val files = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.LocatedFileStatus]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) files += f
+    }
+    files.sortBy(_.getPath.toString).zipWithIndex.map { case (f, i) =>
+      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+        hadoopConf, f.getPath,
+        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+      val rows = footer.getBlocks.stream().mapToLong(_.getRowCount).sum()
+      PartitionStat(i, rows, f.getLen, 0L)
+    }.toSeq
   }
 
   private def esc(s: String): String =
@@ -59,11 +89,12 @@ object Manifest {
 
   def write(dir: String, m: StageManifest): Unit = {
     val parts = m.partitions
-      .map(p => s"""{"id":${p.id},"rows":${p.rows},"checksum":${p.checksum}}""")
+      .map(p => s"""{"id":${p.id},"rows":${p.rows},"bytes":${p.bytes},"checksum":${p.checksum}}""")
       .mkString("[", ",", "]")
     val json =
       s"""{"stage":"${esc(m.stage)}","input_fingerprint":"${esc(m.inputFingerprint)}",""" +
-        s""""total_rows":${m.totalRows},"partitions":$parts,"complete":${m.complete}}"""
+        s""""total_rows":${m.totalRows},"global_checksum":${m.globalChecksum},""" +
+        s""""partitions":$parts,"complete":${m.complete}}"""
     Files.createDirectories(Paths.get(dir))
     val tmp = Paths.get(dir, "_manifest.json.tmp")
     Files.writeString(tmp, json)
@@ -84,6 +115,7 @@ object Manifest {
       stage <- str("stage")
       fp    <- str("input_fingerprint")
       rows  <- lng("total_rows")
-    } yield StageManifest(stage, fp, rows, Nil, s.contains("\"complete\":true"))
+    } yield StageManifest(stage, fp, rows, lng("global_checksum").getOrElse(0L),
+      Nil, s.contains("\"complete\":true"))
   }
 }

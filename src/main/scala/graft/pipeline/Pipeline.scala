@@ -39,6 +39,15 @@ final class Pipeline(
     * input fingerprint, else compute → write parquet → write manifest. */
   def stage(name: String, inputFp: String, partitionCols: Seq[String] = Nil)(
       compute: => DataFrame): DataFrame = {
+    val t0  = System.nanoTime()
+    val out = stageImpl(name, inputFp, partitionCols)(compute)
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      System.err.println(f"[stage] $name%-12s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    out
+  }
+
+  private def stageImpl(name: String, inputFp: String, partitionCols: Seq[String])(
+      compute: => DataFrame): DataFrame = {
     val dir = stageDir(name)
     Manifest.read(dir) match {
       case Some(m) if m.complete && m.inputFingerprint == inputFp =>
@@ -47,37 +56,53 @@ final class Pipeline(
       case _ =>
         runsExecuted ::= name
         val df = compute
-        val w  = df.write.mode("overwrite")
+        // row count + content checksum captured DURING the write job
+        // (observe = zero extra pass); per-file rows/bytes from parquet
+        // footers (metadata only) — no re-read of the stage output.
+        val obs     = new org.apache.spark.sql.Observation(s"graft_$name")
+        val hashCol = coalesce(
+          bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L))
+        val w = df.observe(obs, count(lit(1)).as("rows"), hashCol.as("checksum"))
+          .write.mode("overwrite")
         (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
           .parquet(dir)
-        val written = spark.read.parquet(dir)
         Manifest.write(dir, StageManifest(
           stage = name,
           inputFingerprint = inputFp,
-          totalRows = written.count(),
-          partitions = Manifest.partitionStats(written),
+          totalRows = obs.get("rows").asInstanceOf[Long],
+          globalChecksum = obs.get("checksum").asInstanceOf[Long],
+          partitions = Manifest.footerStats(dir, spark.sparkContext.hadoopConfiguration),
           complete = true))
         spark.read.parquet(dir)
     }
   }
 
-  /** Full run: docs → triples(subj, pred, obj, src_doc, src_span, bucket). */
-  def run(docs: Dataset[Doc]): DataFrame = {
+  /**
+   * Full run: docs → triples(subj, pred, obj, src_doc, src_span, bucket).
+   *
+   * @param inputFp optional caller-asserted input identity (e.g. the
+   *                generator parameters, or a storage-layer snapshot id).
+   *                When absent, a full data fingerprint pass is paid —
+   *                at 10¹² docs the metadata-based identity is the only
+   *                sane choice (Iceberg snapshot-id semantics).
+   */
+  def run(docs: Dataset[Doc], inputFp: Option[String] = None): DataFrame = {
     val docsDF = docs.toDF()
-    val docsFp = Manifest.fingerprint(docsDF.select("doc_id"))
+    val docsFp = inputFp.getOrElse(Manifest.fingerprint(docsDF.select("doc_id")))
 
     val mentions = stage("mentions", docsFp)(MentionDetect.mentions(docsDF))
 
-    val aliasFp  = Manifest.fingerprint(
-      mentions.select(col("subj_alias").as("a"))
-        .union(mentions.select(col("obj_alias").as("a"))).distinct())
+    // downstream stages are deterministic functions of the docs input, so
+    // the docs fingerprint + a stage tag is their resume identity — no
+    // extra fingerprint pass over intermediate data
+    val aliasFp  = docsFp + "|aliases"
     val aliasMap = stage("alias_map", aliasFp)(Canonicalize.aliasMap(mentions))
 
-    val linked = stage("linked", docsFp + "|" + aliasFp)(
-      LinkScore.link(mentions, aliasMap))
-
+    // link scoring is fused into the materialize stage: the linked stream
+    // is cheap to recompute from (mentions, alias_map) — persisting it
+    // would double the heaviest I/O for no resume value
     stage("triples", docsFp + "|" + aliasFp, partitionCols = Seq("bucket")) {
-      val salted = linked
+      val salted = LinkScore.link(mentions, aliasMap)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
         .withColumn("salt",
           pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)).cast("int"))

@@ -55,9 +55,21 @@ class PipelineSpec extends AnyFunSuite {
   test("connected components: chain graph (worst case for label propagation)") {
     val n = 64
     val edges = (0 until n - 1).map(i => (f"n$i%03d", f"n${i + 1}%03d")).toDF("src", "dst")
-    val comp = ConnectedComponents.run(edges).collect()
+    // force the distributed large-star/small-star path
+    val comp = ConnectedComponents.run(edges, driverThreshold = 0).collect()
     assert(comp.length == n)
     assert(comp.map(_.getString(1)).distinct.toSeq == Seq("n000"))
+  }
+
+  test("connected components: driver and distributed paths agree") {
+    val rng = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (s"v${rng.nextInt(120)}", s"v${rng.nextInt(120)}"))
+      .filter { case (a, b) => a != b }.toDF("src", "dst")
+    val drv = ConnectedComponents.run(edges).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = ConnectedComponents.run(edges, driverThreshold = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drv == dist)
   }
 
   test("pipeline triples == oracle extraction (P = R = 1.0)") {
@@ -81,7 +93,7 @@ class PipelineSpec extends AnyFunSuite {
 
     val p1 = new Pipeline(spark, dir, nBuckets = 4)
     p1.run(docs)
-    assert(p1.runsExecuted.toSet == Set("mentions", "alias_map", "linked", "triples"))
+    assert(p1.runsExecuted.toSet == Set("mentions", "alias_map", "triples"))
 
     // lineage columns present; manifest complete with partition counters
     val t = spark.read.parquet(s"$dir/triples")
@@ -93,7 +105,7 @@ class PipelineSpec extends AnyFunSuite {
     val p2 = new Pipeline(spark, dir, nBuckets = 4)
     p2.run(docs)
     assert(p2.runsExecuted.isEmpty)
-    assert(p2.runsSkipped.toSet == Set("mentions", "alias_map", "linked", "triples"))
+    assert(p2.runsSkipped.toSet == Set("mentions", "alias_map", "triples"))
 
     // corrupt one manifest → only that stage (and dependents sharing its
     // fingerprint chain) recomputes
