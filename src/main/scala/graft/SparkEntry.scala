@@ -69,13 +69,22 @@ object SparkEntry {
       |  UNION ALL SELECT 'o' || o_orderkey, 'orderPriority', o_orderpriority FROM orders
       |)""".stripMargin
 
-  /** Flagship: full rule-mining run of the KG engine on the reference's
-    * fixture KB — returns the scored-rule table (driver checks rows > 0). */
+  /** Flagship: the full north-star path in one call — deterministic
+    * interleaved-doc corpus → KG-construction pipeline (mention detect,
+    * CC canonicalization, link scoring, bucketed materialize) → AMIE-style
+    * rule mining over the constructed graph. Returns the scored-rule
+    * table (driver checks rows > 0); the corpus plants
+    * `worksAt(x,t) ∧ isLocatedIn(t,c) ⇒ livesIn(x,c)`, which mining
+    * recovers at PCA confidence 1.0 (asserted in E2ESpec). */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-entry").toString
+    val p   = new graft.pipeline.Pipeline(spark, dir, nBuckets = 8)
+    p.run(graft.pipeline.Corpus.generate(spark, 1200, 120),
+      inputFp = Some("entry:1200:120"))
     val rules = new Miner(
-      Fixtures.baseKB(spark),
-      MinerConfig(minSupport = 2, minHeadCoverage = 0.1, minPcaConfidence = 0.1)).mine()
+      p.triples(),
+      MinerConfig(minSupport = 5, minHeadCoverage = 0.05, minPcaConfidence = 0.5)).mine()
     rules.map(s => (s.rule.amieString, s.headCoverage, s.stdConfidence,
       s.pcaConfidence, s.support, s.bodySize, s.pcaBodySize, s.functionalVariable))
       .toDF("rule", "head_coverage", "std_confidence", "pca_confidence",

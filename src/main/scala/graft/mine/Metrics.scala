@@ -63,7 +63,9 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       QueryBuilder.countDistinctBindings(triples, r.headVars, Seq(r.head))
   }
 
-  /** Score a batch of closed rules in one collect. */
+  import Metrics.JobChunk
+
+  /** Score a batch of closed rules in a handful of chunked jobs. */
   def scoreAll(rules: Seq[Rule]): Seq[ScoredRule] = {
     if (rules.isEmpty) return Nil
     val parts = rules.zipWithIndex.flatMap { case (r, i) =>
@@ -72,7 +74,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         agg1(i, "body", r.headVars, r.body),
         agg1(i, "pca", r.headVars, pcaAtoms(r)))
     }
-    val all = parts.reduce(_ union _).collect()
+    val all = parts.grouped(JobChunk).toSeq
+      .flatMap(chunk => chunk.reduce(_ union _).collect())
     val byRule = all.groupBy(_.getInt(0)).map { case (i, rows) =>
       i -> rows.map(row => row.getString(1) -> row.getLong(2)).toMap
     }
@@ -101,4 +104,12 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   /** Support alone (computeCardinality, DMA:636-655). */
   def support(r: Rule): Long =
     QueryBuilder.countDistinctBindings(triples, r.headVars, r.atoms)
+}
+
+object Metrics {
+  /** Max single-row aggregate plans unioned into one Spark job. Catalyst
+    * planning cost grows superlinearly with union width; chunking keeps
+    * each job's plan bounded while still batching dozens of measurements
+    * per job (vs the reference's one KB call per rule). */
+  val JobChunk = 24
 }

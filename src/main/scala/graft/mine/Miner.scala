@@ -39,8 +39,14 @@ final case class MinerConfig(
  */
 final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
 
-  val stats: KGStats   = KGStats.compute(triples)
-  private val metrics  = new Metrics(triples, stats)
+  /** The KB is a fact SET (the reference dedups on add, KB.java:334-381)
+    * — a constructed graph carries one row per *mention*, so dedup here;
+    * and it is scanned by every candidate-counting job of every level —
+    * cache it (at cluster scale this is the in-memory columnar copy the
+    * reference holds in its six indexes). */
+  private val kb       = triples.distinct().cache()
+  val stats: KGStats   = KGStats.compute(kb)
+  private val metrics  = new Metrics(kb, stats)
   private val candCol  = "__cand_rel" // pred-position variable of the template atom
 
   /** Search node: rule + best PCA confidence among output ancestors
@@ -132,17 +138,20 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       } templates += ((i, Atom(v1, Var(candCol), v2), false))
     }
 
-    // One job: per (template, candidate relation) → child support.
+    // Chunked jobs: per (template, candidate relation) → child support.
+    // One job per ~JobChunk templates keeps Catalyst planning bounded
+    // while still counting a whole level in a few jobs.
     val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
       val r  = nodes(idx).rule
-      val df = QueryBuilder.bindings(triples, r.atoms :+ tpl)
+      val df = QueryBuilder.bindings(kb, r.atoms :+ tpl)
       val hv = r.headVars
       val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                else countDistinct(struct(hv.map(v => col(v.name)): _*))
       df.groupBy(col(candCol)).agg(cd.as("supp"))
         .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
     }
-    val counted = parts.reduce(_ union _).collect()
+    val counted = parts.grouped(Metrics.JobChunk).toSeq
+      .flatMap(chunk => chunk.reduce(_ union _).collect())
 
     val children = scala.collection.mutable.ArrayBuffer[Node]()
     for (row <- counted) {

@@ -34,16 +34,24 @@ object Corpus {
     * stage must converge to exactly this choice. */
   def canonicalAlias(i: Int): String = aliasForms(i).min
 
+  /** Planted entity-level structure (deterministic functions of the
+    * entity index) so that rule mining over the constructed graph finds a
+    * real Horn rule: `worksAt(x,t) ∧ isLocatedIn(t,c) ⇒ livesIn(x,c)`
+    * holds by construction, `wasBornIn`/`type` are uniform noise. */
+  def orgOf(i: Int, nEntities: Int): Int  = (i * 7 + 3)  % nEntities
+  def cityOf(i: Int, nEntities: Int): Int = (i * 5 + 11) % nEntities
+
   def generate(spark: SparkSession, nDocs: Long, nEntities: Int, seed: Long = 42L): Dataset[Doc] = {
     import spark.implicits._
     val rels = relations
     val nHead = HeadEntities
+    val nEnt  = nEntities
     spark.range(nDocs).mapPartitions { it =>
       it.map { idx =>
         val rng = new scala.util.Random(seed + idx)
         def entity(): Int =
-          if (rng.nextBoolean()) rng.nextInt(math.min(nHead, nEntities))
-          else rng.nextInt(nEntities)
+          if (rng.nextBoolean()) rng.nextInt(math.min(nHead, nEnt))
+          else rng.nextInt(nEnt)
         def alias(i: Int): String = aliasForms(i)(rng.nextInt(3))
         val nSpans = 1 + rng.nextInt(8)
         var offset = 0
@@ -53,8 +61,15 @@ object Corpus {
             offset += 16
             s
           } else {
-            val rel  = rels(rng.nextInt(rels.size))
-            val text = s"${alias(entity())} $rel ${alias(rng.nextInt(nEntities))}."
+            val s0  = entity()
+            val rel = rels(rng.nextInt(rels.size))
+            val o = rel match {
+              case "worksAt"     => orgOf(s0, nEnt)
+              case "isLocatedIn" => cityOf(s0, nEnt)
+              case "livesIn"     => cityOf(orgOf(s0, nEnt), nEnt)
+              case _             => rng.nextInt(nEnt) // wasBornIn / type: noise
+            }
+            val text = s"${alias(s0)} $rel ${alias(o)}."
             val s    = Span("text", Some(text), None, offset)
             offset += text.length + 1
             s
