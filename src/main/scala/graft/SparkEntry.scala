@@ -207,6 +207,66 @@ object SparkEntry {
         .toDF("contains")
     },
 
+    // ---- §2.1 taxonomy closure: custNation ∪ nationRegion as partOf edges
+    "kb_taxonomy_closure" -> { (s, dir) =>
+      val t = tpchTriples(s, dir)
+      val edges = t.where(col("pred").isin("custNation", "nationRegion"))
+        .select(col("subj").as("child"), col("obj").as("parent"))
+      Taxonomy.transitiveClosure(edges)
+    },
+
+    // ---- §2.2 cardinality pseudo-relation: customers with > 10 orders
+    "kb_card_gt" -> { (s, dir) =>
+      Ops.entitiesByValueCount(tpchTriples(s, dir), "orderCust",
+        inverse = true, op = ">", n = 10)
+    },
+
+    // ---- §2.2 differentFrom pseudo-atom: supplier pairs in one nation
+    "kb_different_from" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(
+        tpchTriples(s, dir), Seq(Var("s1"), Var("s2")),
+        Seq(Atom(Var("s1"), Const("suppNation"), Var("n")),
+          Atom(Var("s2"), Const("suppNation"), Var("n")),
+          Atom(Var("s1"), Const(Atom.DifferentFrom), Var("s2"))))
+        .select(col("s1"), col("s2"))
+    },
+
+    // ---- §2.6 set ops: union / intersect of entity sets
+    "kb_union" -> { (s, dir) =>
+      val t = tpchTriples(s, dir)
+      t.where(col("pred") === "custNation").select(col("subj").as("entity"))
+        .union(t.where(col("pred") === "suppNation").select(col("subj").as("entity")))
+        .distinct()
+    },
+    "kb_intersect" -> { (s, dir) =>
+      val t = tpchTriples(s, dir)
+      t.where(col("pred") === "orderCust").select(col("obj").as("entity")).distinct()
+        .intersect(
+          t.where(col("pred") === "custNation" && col("obj") === "n1")
+            .select(col("subj").as("entity")))
+    },
+
+    // ---- §2.7 scalar surface: label@lang split (MultilingualKB.java:11-23)
+    "kb_lang_split" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 20), lit("@"), col("lang")).as("label"))
+        .select(col("doc_id"),
+          regexp_extract(col("label"), "^(.*)@([a-z]+)$", 1).as("label_text"),
+          regexp_extract(col("label"), "^(.*)@([a-z]+)$", 2).as("label_lang"))
+    },
+
+    // ---- §2.9 full mining run over the dimension subgraph (rows-only
+    //      check: the BFS search is not SQL-expressible; its metric layer
+    //      is oracle-checked by kb_rule_metrics)
+    "kb_mined_rules" -> { (s, dir) =>
+      val dims = tpchTriples(s, dir)
+        .where(col("pred").isin("custNation", "suppNation", "nationRegion", "custRegion"))
+      val rules = new Miner(dims,
+        MinerConfig(minSupport = 20, minHeadCoverage = 0.05, minPcaConfidence = 0.5)).mine()
+      RuleSink.toDF(s, rules)
+    },
+
     // ===== training-data pipeline operators (documents / embeddings) =====
     "text_lang_id"      -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "text_quality"      -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
@@ -502,5 +562,38 @@ object SparkEntry {
     "kb_contains" ->
       s"""$triplesCte
          |SELECT count(*) > 0 AS contains FROM triples
-         |WHERE subj = 'n1' AND pred = 'nationRegion' AND obj = 'r1'""".stripMargin)
+         |WHERE subj = 'n1' AND pred = 'nationRegion' AND obj = 'r1'""".stripMargin,
+    "kb_taxonomy_closure" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c' || c_custkey AS child, 'n' || c_nationkey AS parent FROM customer
+        |  UNION ALL SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation),
+        |r(child, parent) AS (
+        |  SELECT child, parent FROM edges
+        |  UNION
+        |  SELECT r.child, e.parent FROM r JOIN edges e ON r.parent = e.child)
+        |SELECT DISTINCT child, parent FROM r""".stripMargin,
+    "kb_card_gt" ->
+      s"""$triplesCte
+         |SELECT obj AS entity, count(DISTINCT subj) AS cnt FROM triples
+         |WHERE pred = 'orderCust' GROUP BY obj HAVING count(DISTINCT subj) > 10""".stripMargin,
+    "kb_different_from" ->
+      s"""$triplesCte
+         |SELECT DISTINCT a.subj AS s1, b.subj AS s2
+         |FROM triples a JOIN triples b ON a.obj = b.obj AND a.subj <> b.subj
+         |WHERE a.pred = 'suppNation' AND b.pred = 'suppNation'""".stripMargin,
+    "kb_union" ->
+      s"""$triplesCte
+         |SELECT subj AS entity FROM triples WHERE pred = 'custNation'
+         |UNION
+         |SELECT subj FROM triples WHERE pred = 'suppNation'""".stripMargin,
+    "kb_intersect" ->
+      s"""$triplesCte
+         |SELECT DISTINCT obj AS entity FROM triples WHERE pred = 'orderCust'
+         |INTERSECT
+         |SELECT subj FROM triples WHERE pred = 'custNation' AND obj = 'n1'""".stripMargin,
+    "kb_lang_split" ->
+      """SELECT doc_id,
+        |  regexp_extract(substr(text, 1, 20) || '@' || lang, '^(.*)@([a-z]+)$', 1) AS label_text,
+        |  regexp_extract(substr(text, 1, 20) || '@' || lang, '^(.*)@([a-z]+)$', 2) AS label_lang
+        |FROM documents""".stripMargin)
 }

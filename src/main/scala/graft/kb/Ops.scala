@@ -127,6 +127,30 @@ object Ops {
       triples: DataFrame, bound: Long, vs: Seq[Var], atoms: Seq[Atom]): Long =
     QueryBuilder.selectDistinct(triples, vs, atoms).limit((bound + 1).toInt).count()
 
+  /**
+   * Cardinality pseudo-relations
+   * `hasNumberOfValues{Equals,GreaterThan,SmallerThan}[Inv]`
+   * (Schema.java:130-163, evaluated in KB.java:928-1063): keys of
+   * `pred` (subjects, or objects when `inverse`) whose distinct-value
+   * count satisfies `op n`. Keys with zero facts never appear — same as
+   * the reference, which iterates the relation index.
+   */
+  def entitiesByValueCount(
+      triples: DataFrame, pred: String, inverse: Boolean,
+      op: String, n: Long): DataFrame = {
+    val (key, value) = if (inverse) ("obj", "subj") else ("subj", "obj")
+    val counted = triples.where(col("pred") === pred)
+      .groupBy(col(key).as("entity"))
+      .agg(countDistinct(col(value)).as("cnt"))
+    val f = op match {
+      case "="  => counted("cnt") === n
+      case ">"  => counted("cnt") > n
+      case "<"  => counted("cnt") < n
+      case bad  => throw new IllegalArgumentException(s"op: $bad")
+    }
+    counted.where(f)
+  }
+
   /** Relations with ≥ `minSize` facts, largest first —
     * U.decreasingKeys + size threshold (kb/.../U.java:27-31). */
   def relationsBySize(triples: DataFrame, minSize: Long): DataFrame =

@@ -1,0 +1,57 @@
+package graft.kb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Taxonomy layer — the Spark re-expression of the reference's schema
+ * utilities (kb/src/main/java/amie/data/Schema.java):
+ *
+ *  - transitive closure of `rdfs:subClassOf`-style edge sets
+ *    (Schema.java:546-572,665-691 does per-query BFS over in-memory maps;
+ *    here one driver-looped iterative self-join to fixpoint, doubling the
+ *    reachable depth per iteration, so `ceil(log2(depth))` shuffles);
+ *  - `transitiveType` expansion (AbstractKB.java:91-133 meta-relation):
+ *    instances of a class or any of its subclasses.
+ */
+object Taxonomy {
+
+  /**
+   * All (sub, ancestor) pairs reachable through `edges(child, parent)`.
+   * Exponential-squaring closure: after k rounds paths of length ≤ 2^k
+   * are covered — 30 rounds cover any real taxonomy; terminates early at
+   * fixpoint (checked with one count per round on the deduped frontier).
+   */
+  def transitiveClosure(edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    var closure = edges.toDF("child", "parent").distinct().localCheckpoint(true)
+    var size    = closure.count()
+    var done    = false
+    var iter    = 0
+    while (!done && iter < maxIter) {
+      val next = closure.as("a")
+        .join(closure.as("b"), col("a.parent") === col("b.child"))
+        .select(col("a.child"), col("b.parent"))
+        .union(closure)
+        .distinct()
+        .localCheckpoint(true)
+      val n = next.count()
+      done = n == size
+      closure = next
+      size = n
+      iter += 1
+    }
+    closure
+  }
+
+  /** Entities typed with `cls` or any subclass of it — the
+    * `transitiveType` meta-relation (Schema.java:341-350 materialized
+    * variant). `types` = (entity, class) facts. */
+  def transitiveInstances(types: DataFrame, subClassOf: DataFrame, cls: String): DataFrame = {
+    val closure = transitiveClosure(subClassOf)
+    val subs = closure.where(col("parent") === cls).select(col("child").as("cls"))
+      .union(types.sparkSession.createDataFrame(Seq(Tuple1(cls))).toDF("cls"))
+      .distinct()
+    types.toDF("entity", "cls").join(broadcast(subs), "cls")
+      .select(col("entity")).distinct()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.mine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/**
+ * Rule output sink in the reference formatter's column order
+ * (rules/src/main/java/amie/rules/format/RuleFormatter.java:19-95,
+ * OutputColumn.java:5-8; FIXTURES.md §4):
+ *
+ *   Rule  HeadCoverage  StdConfidence  PcaConfidence  Support  BodySize
+ *   PcaBodySize  FunctionalVariable
+ *
+ * Rule strings use the reference's deterministic atom ordering
+ * (Rule.sortBody semantics, already baked into Rule.amieString), and the
+ * frame is sorted for reproducible output files.
+ */
+object RuleSink {
+
+  val Columns: Seq[String] = Seq(
+    "Rule", "HeadCoverage", "StdConfidence", "PcaConfidence",
+    "Support", "BodySize", "PcaBodySize", "FunctionalVariable")
+
+  def toDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {
+    import spark.implicits._
+    rules
+      .map(s => (s.rule.amieString, s.headCoverage, s.stdConfidence,
+        s.pcaConfidence, s.support, s.bodySize, s.pcaBodySize, s.functionalVariable))
+      .toDF(Columns: _*)
+      .orderBy("Rule")
+  }
+
+  /** TSV with header, single file per mining run (rule sets are small —
+    * driver-side objects — so coalesce(1) is correct here). */
+  def writeTsv(spark: SparkSession, rules: Seq[ScoredRule], path: String): Unit =
+    toDF(spark, rules)
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("sep", "\t").option("header", "true")
+      .csv(path)
+}

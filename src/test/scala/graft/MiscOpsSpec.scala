@@ -1,0 +1,82 @@
+package graft
+
+import graft.kb._
+import graft.mine._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parser round-trips (ports of the reference's TestKBTripleParsing /
+  * TestKBRuleParsing cases), taxonomy closure, rule-sink format, and
+  * cardinality pseudo-relations. */
+class MiscOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("triple-pattern parsing round-trips (TestKBTripleParsing cases)") {
+    // Freebase-style ids, underscores, numbers (TestKBTripleParsing.java:20-46)
+    assert(RuleParser.parseAtom("?s  <worksAt>  ?o") ==
+      Atom(Var("s"), Const("<worksAt>"), Var("o")))
+    assert(RuleParser.parseAtom("?a /m/0bwd_0j ?b") ==
+      Atom(Var("a"), Const("/m/0bwd_0j"), Var("b")))
+    assert(RuleParser.parseAtom("<Luis> wasBornIn <Guayaquil> .") ==
+      Atom(Const("<Luis>"), Const("wasBornIn"), Const("<Guayaquil>")))
+    assert(RuleParser.parseAtoms("?a r1 ?b ?b r2 ?c").size == 2)
+  }
+
+  test("rule parsing: both syntaxes (TestKBRuleParsing cases)") {
+    val r1 = RuleParser.parseRule("?a worksAt ?t ?t isLocatedIn ?c => ?a livesIn ?c")
+    assert(r1.head == Atom(Var("a"), Const("livesIn"), Var("c")))
+    assert(r1.body.size == 2)
+    val r2 = RuleParser.parseRule("?a livesIn ?c :- ?a worksAt ?t, ?t isLocatedIn ?c")
+    assert(r2.canonical == r1.canonical)
+  }
+
+  test("taxonomy transitive closure on a 4-level chain + diamond") {
+    import spark.implicits._
+    val edges = Seq(
+      ("a", "b"), ("b", "c"), ("c", "d"),       // chain
+      ("x", "y1"), ("x", "y2"), ("y1", "z"), ("y2", "z")) // diamond
+      .toDF("child", "parent")
+    val closure = Taxonomy.transitiveClosure(edges).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(closure.contains(("a", "d")))
+    assert(closure.contains(("a", "c")))
+    assert(closure.contains(("x", "z")))
+    assert(!closure.contains(("b", "a")))
+    assert(closure.size == 3 + 2 + 1 + 4 + 1) // chain closure 6, diamond 5
+  }
+
+  test("transitive instances include subclass members") {
+    import spark.implicits._
+    val types = Seq(("e1", "Dog"), ("e2", "Animal"), ("e3", "Cat"), ("e4", "Rock"))
+      .toDF("entity", "cls")
+    val sub = Seq(("Dog", "Mammal"), ("Cat", "Mammal"), ("Mammal", "Animal"))
+      .toDF("child", "parent")
+    val got = Taxonomy.transitiveInstances(types, sub, "Animal")
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("e1", "e2", "e3"))
+  }
+
+  test("rule sink: reference column order, deterministic rows") {
+    val r = Rule(Atom(Var("x"), Const("livesIn"), Var("y")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")),
+        Atom(Var("t"), Const("isLocatedIn"), Var("y"))))
+    val scored = ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?x")
+    val df = RuleSink.toDF(spark, Seq(scored))
+    assert(df.columns.toSeq == RuleSink.Columns)
+    val row = df.collect()(0)
+    assert(row.getString(0).endsWith("=> ?x  livesIn  ?y"))
+    assert(row.getLong(4) == 3)
+  }
+
+  test("cardinality pseudo-relation: keys by distinct-value count") {
+    import spark.implicits._
+    val t = Seq(
+      ("a", "r", "1"), ("a", "r", "2"), ("a", "r", "2"),
+      ("b", "r", "1"), ("c", "q", "1")).toDF("subj", "pred", "obj")
+    val eq2 = Ops.entitiesByValueCount(t, "r", inverse = false, "=", 2)
+      .collect().map(_.getString(0)).toSet
+    assert(eq2 == Set("a"))
+    val inv = Ops.entitiesByValueCount(t, "r", inverse = true, ">", 1)
+      .collect().map(_.getString(0)).toSet
+    assert(inv == Set("1")) // object "1" has subjects {a, b}
+  }
+}
