@@ -93,9 +93,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         pcaConfidence = if (pca == 0) 0.0 else support.toDouble / pca,
         bodySize = body,
         pcaBodySize = pca,
-        functionalVariable =
-          if (headRelationFunctionalIsSubject(r)) "?" + r.head.s.asInstanceOf[Var].name
-          else "?" + r.head.o.asInstanceOf[Var].name)
+        functionalVariable = {
+          val t = if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o
+          t match { case Var(n) => s"?$n"; case Const(c) => c } // head may be instantiated
+        })
     }
   }
 

@@ -170,6 +170,57 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         children += Node(child, floor)
       }
     }
+    if (config.enableConstants) children ++= instantiateLevel(nodes, outputConf)
     children.toSeq
+  }
+
+  /**
+   * O_I instantiation (SURVEY.md §2.9; reference `@MiningOperator
+   * ("instantiated")`, DefaultMiningAssistant.java:458-521 +
+   * MiningAssistant.java:853-890): bind an OPEN variable (one appearing
+   * in exactly one atom — which may be the head's non-functional
+   * variable) to each constant with enough support. One chunked job per
+   * level: `bindings(rule).groupBy(openVar).agg(countDistinct(remaining
+   * head vars))`. The child keeps its atom count (a variable is replaced,
+   * not an atom added), so instantiation does not consume search depth —
+   * it strictly reduces the variable count, which bounds the recursion.
+   */
+  private def instantiateLevel(nodes: Seq[Node], outputConf: Map[String, Double]): Seq[Node] = {
+    val tasks = for {
+      (n, i) <- nodes.zipWithIndex
+      v      <- n.rule.openVars
+    } yield (i, v)
+    if (tasks.isEmpty) return Nil
+
+    val parts = tasks.zipWithIndex.map { case ((idx, v), taskId) =>
+      val r    = nodes(idx).rule
+      val rest = r.headVars.filterNot(_ == v)
+      val cd =
+        if (rest.isEmpty) countDistinct(struct(r.headVars.map(h => col(h.name)): _*))
+        else if (rest.size == 1) countDistinct(col(rest.head.name))
+        else countDistinct(struct(rest.map(h => col(h.name)): _*))
+      QueryBuilder.bindings(kb, r.atoms)
+        .groupBy(col(v.name)).agg(cd.as("supp"))
+        .select(lit(taskId).as("task_id"), col(v.name).as("c"), col("supp"))
+    }
+    val counted = parts.grouped(Metrics.JobChunk).toSeq
+      .flatMap(chunk => chunk.reduce(_ union _).collect())
+
+    val out = scala.collection.mutable.ArrayBuffer[Node]()
+    for (row <- counted) {
+      val (idx, v) = tasks(row.getInt(0))
+      val c        = row.getString(1)
+      val supp     = row.getLong(2)
+      val parent   = nodes(idx)
+      if (supp >= supportThreshold(headRel(parent.rule))) {
+        def sub(t: Term): Term = if (t == v) Const(c) else t
+        def subAtom(a: Atom)   = Atom(sub(a.s), sub(a.p), sub(a.o))
+        val child = Rule(subAtom(parent.rule.head), parent.rule.body.map(subAtom))
+        val floor = math.max(parent.ancestorConf,
+          outputConf.getOrElse(parent.rule.canonical, -1.0))
+        out += Node(child, floor)
+      }
+    }
+    out.toSeq
   }
 }

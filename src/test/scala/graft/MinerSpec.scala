@@ -1,4 +1,5 @@
 package graft
+// (instantiation-operator coverage lives at the bottom of this suite)
 
 import graft.kb._
 import graft.mine._
@@ -53,5 +54,33 @@ class MinerSpec extends AnyFunSuite {
       Atom(Var("p"), Const("livesIn"), Var("q")),
       List(Atom(Var("q"), Const("isLocatedIn"), Var("r")), Atom(Var("p"), Const("worksAt"), Var("r"))))
     assert(a.canonical != c.canonical)
+  }
+
+  test("O_I instantiation: mines constant rules with -const enabled") {
+    val rules = new Miner(Fixtures.baseKB(spark),
+      cfg.copy(enableConstants = true)).mine()
+    // worksAt(x, Telecom) => livesIn(x, Paris): support 3, std 1.0, PCA 1.0
+    val inst = rules.find { s =>
+      s.rule.head == Atom(Var("x"), Const("livesIn"), Const("Paris")) &&
+        s.rule.body == List(Atom(Var("x"), Const("worksAt"), Const("Telecom")))
+    }
+    assert(inst.isDefined,
+      s"instantiated rule missing; got:\n${rules.map(_.rule.amieString).mkString("\n")}")
+    assert(inst.get.support == 3)
+    assert(inst.get.stdConfidence == 1.0)
+    assert(inst.get.pcaConfidence == 1.0)
+  }
+
+  test("O_I on extended KB: PCA 0.75 for the Telecom/Paris rule") {
+    val rules = new Miner(Fixtures.extendedKB(spark),
+      cfg.copy(enableConstants = true)).mine()
+    val inst = rules.find { s =>
+      s.rule.head == Atom(Var("x"), Const("livesIn"), Const("Paris")) &&
+        s.rule.body == List(Atom(Var("x"), Const("worksAt"), Const("Telecom")))
+    }
+    assert(inst.isDefined)
+    assert(inst.get.support == 3)
+    assert(inst.get.stdConfidence == 0.75) // Jonathan works at Telecom, lives in Villejuif
+    assert(inst.get.pcaConfidence == 0.75)
   }
 }

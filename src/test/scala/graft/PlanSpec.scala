@@ -1,0 +1,75 @@
+package graft
+
+import graft.kb._
+import graft.pipeline.{Corpus, LinkScore, MentionDetect, Pipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Physical-plan assertions: the scale properties we claim (predicate
+  * pushdown to the parquet scan, broadcast joins for vocabulary-sized
+  * tables, partition pruning on the subject-hash bucket, whole-stage
+  * codegen on the hot paths) must be visible in `explain`, not assumed. */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val workDir: String = {
+    val dir = Files.createTempDirectory("graft-plan").toString
+    new Pipeline(spark, dir, nBuckets = 4)
+      .run(Corpus.generate(spark, 500, 50), inputFp = Some("plan:500:50"))
+    dir
+  }
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("predicate pushdown: pred/subj filters reach the parquet scan") {
+    val t  = spark.read.parquet(s"$workDir/triples")
+    val df = t.where(col("pred") === "livesIn" && col("subj") === "E 1")
+      .select("obj")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(p.contains("PushedFilters") &&
+      p.contains("IsNotNull(pred)") && p.contains("EqualTo(pred,livesIn)"),
+      s"filters not pushed:\n$p")
+    // column pruning: scan schema must not include lineage columns
+    assert(!p.contains("src_doc") || p.contains("ReadSchema: struct<obj:string"),
+      s"scan reads more columns than the projection needs:\n$p")
+  }
+
+  test("bucket partition pruning: a subject-hash bucket filter prunes directories") {
+    val t = spark.read.parquet(s"$workDir/triples")
+    val pruned = t.where(col("bucket") === 2)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"),
+      s"no partition filter on bucket:\n$scan")
+  }
+
+  test("link scoring uses broadcast joins, not shuffles, for the candidate table") {
+    val docs     = Corpus.generate(spark, 200, 50).toDF()
+    val mentions = MentionDetect.mentions(docs)
+    val aliasMap = graft.pipeline.Canonicalize.aliasMap(mentions)
+    val p        = plan(LinkScore.link(mentions, aliasMap))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"mention stream must not shuffle-join:\n$p")
+  }
+
+  test("stats pass is a single hash aggregation inside whole-stage codegen") {
+    val t  = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val df = KGStats.statsDF(t)
+    df.collect() // finalize the adaptive plan so codegen spans are visible
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("HashAggregate"))
+    // formatted explain marks codegen'd operators with "[codegen id : n]"
+    assert(p.contains("codegen id"), s"stats pass fell out of codegen:\n$p")
+  }
+
+  test("conjunctive query compiles to one declarative join plan (no cartesian)") {
+    val t = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val df = QueryBuilder.bindings(t, Seq(
+      Atom(Var("x"), Const("worksAt"), Var("t")),
+      Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+}
