@@ -267,6 +267,33 @@ object SparkEntry {
       RuleSink.toDF(s, rules)
     },
 
+    // ---- §2.4 entity occurrence counts (KB.getEntitiesOccurrences)
+    "kb_entity_occurrences" -> { (s, dir) =>
+      val t = tpchTriples(s, dir)
+      t.select(col("subj").as("entity"))
+        .union(t.select(col("obj").as("entity")))
+        .groupBy("entity").agg(count(lit(1)).as("occurrences"))
+        .where(col("occurrences") >= 20)
+    },
+
+    // ---- §2.3 new-entities view (KB.newEntities: facts touching entities
+    //      unseen in a base KB — here: orders of customers outside nation n1)
+    "kb_new_entities" -> { (s, dir) =>
+      val t    = tpchTriples(s, dir)
+      val base = t.where(col("pred") === "custNation" && col("obj") === "n1")
+        .select(col("subj").as("obj"))
+      t.where(col("pred") === "orderCust")
+        .join(base, Seq("obj"), "left_anti")
+        .select(col("subj"), col("pred"), col("obj"))
+    },
+
+    // ===== event-stream operators (windowed computations) =====
+    "events_sessionize" -> ((s, dir) =>
+      graft.functions.Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("event_id"), col("user_id"), col("session_seq"))),
+    "events_session_stats" -> ((s, dir) =>
+      graft.functions.Events.sessionStats(t(s, dir, "events"), gapMinutes = 30)),
+
     // ===== training-data pipeline operators (documents / embeddings) =====
     "text_lang_id"      -> ((s, dir) => TextOps.langId(t(s, dir, "documents"))),
     "text_quality"      -> ((s, dir) => TextOps.quality(t(s, dir, "documents"))),
@@ -591,6 +618,43 @@ object SparkEntry {
          |SELECT DISTINCT obj AS entity FROM triples WHERE pred = 'orderCust'
          |INTERSECT
          |SELECT subj FROM triples WHERE pred = 'custNation' AND obj = 'n1'""".stripMargin,
+    "kb_entity_occurrences" ->
+      s"""$triplesCte,
+         |e AS (SELECT subj AS entity FROM triples UNION ALL SELECT obj FROM triples)
+         |SELECT entity, count(*) AS occurrences FROM e
+         |GROUP BY entity HAVING count(*) >= 20""".stripMargin,
+    "kb_new_entities" ->
+      s"""$triplesCte
+         |SELECT subj, pred, obj FROM triples
+         |WHERE pred = 'orderCust' AND obj NOT IN (
+         |  SELECT subj FROM triples WHERE pred = 'custNation' AND obj = 'n1')""".stripMargin,
+    "events_sessionize" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM s)
+        |SELECT event_id, user_id,
+        |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM m""".stripMargin,
+    "events_session_stats" ->
+      """WITH s AS (
+        |  SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800 THEN 1 ELSE 0 END AS is_start
+        |  FROM s),
+        |x AS (SELECT event_id, user_id, ts,
+        |  CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |FROM m)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS span_sec
+        |FROM x GROUP BY user_id, session_seq""".stripMargin,
     "kb_lang_split" ->
       """SELECT doc_id,
         |  regexp_extract(substr(text, 1, 20) || '@' || lang, '^(.*)@([a-z]+)$', 1) AS label_text,
