@@ -267,6 +267,27 @@ object SparkEntry {
       RuleSink.toDF(s, rules)
     },
 
+    // ---- §2.3 boolean exists (existsBS1)
+    "kb_exists_bool" -> { (s, dir) =>
+      import s.implicits._
+      Seq(Ops.existsQuery(tpchTriples(s, dir), Seq(custNat, natReg)),
+        Ops.existsQuery(tpchTriples(s, dir),
+          Seq(Atom(Var("x"), Const("custNation"), Const("n999")))))
+        .toDF("sat")
+    },
+
+    // ---- §2.4 class intersections (user "types" = event kinds they have)
+    "kb_type_intersections" -> { (s, dir) =>
+      Ops.classIntersections(
+        t(s, dir, "events").select(col("user_id").as("entity"), col("event_type").as("cls")))
+    },
+
+    // ---- §2.4 overlap tables, subject–object position
+    "kb_overlaps_so" -> { (s, dir) =>
+      KGStats.overlaps(tpchTriples(s, dir), "subj", "obj")
+        .select(col("p1"), col("p2"), col("overlap"))
+    },
+
     // ---- §2.4 entity occurrence counts (KB.getEntitiesOccurrences)
     "kb_entity_occurrences" -> { (s, dir) =>
       val t = tpchTriples(s, dir)
@@ -618,6 +639,23 @@ object SparkEntry {
          |SELECT DISTINCT obj AS entity FROM triples WHERE pred = 'orderCust'
          |INTERSECT
          |SELECT subj FROM triples WHERE pred = 'custNation' AND obj = 'n1'""".stripMargin,
+    "kb_exists_bool" ->
+      s"""$triplesCte
+         |SELECT (SELECT count(*) FROM triples a JOIN triples b ON a.obj = b.subj
+         |        WHERE a.pred = 'custNation' AND b.pred = 'nationRegion') > 0 AS sat
+         |UNION ALL
+         |SELECT (SELECT count(*) FROM triples WHERE pred = 'custNation' AND obj = 'n999') > 0""".stripMargin,
+    "kb_type_intersections" ->
+      """WITH t AS (SELECT DISTINCT user_id AS entity, event_type AS cls FROM events)
+        |SELECT a.cls AS c1, b.cls AS c2, count(*) AS n
+        |FROM t a JOIN t b ON a.entity = b.entity GROUP BY 1, 2""".stripMargin,
+    "kb_overlaps_so" ->
+      s"""$triplesCte,
+         |se AS (SELECT DISTINCT pred, subj AS e FROM triples),
+         |oe AS (SELECT DISTINCT pred, obj AS e FROM triples)
+         |SELECT a.pred AS p1, b.pred AS p2, count(*) AS overlap
+         |FROM se a JOIN oe b ON a.e = b.e AND a.pred <> b.pred
+         |GROUP BY a.pred, b.pred""".stripMargin,
     "kb_entity_occurrences" ->
       s"""$triplesCte,
          |e AS (SELECT subj AS entity FROM triples UNION ALL SELECT obj FROM triples)

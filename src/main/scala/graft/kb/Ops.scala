@@ -81,6 +81,24 @@ object Ops {
       .select(vcols(vs): _*).distinct()
   }
 
+  /** Boolean satisfiability of a conjunctive query — KB.existsBS1
+    * (KB.java:1770-1841): ∃ an assignment, early-exit. Catalyst's
+    * `limit(1)` + `isEmpty` gives the short-circuit without enumerating
+    * bindings (the reference's existential-variable optimization is free
+    * here: unprojected variables are never materialized). */
+  def existsQuery(triples: DataFrame, atoms: Seq[Atom]): Boolean =
+    !QueryBuilder.bindings(triples, atoms).limit(1).isEmpty
+
+  /** Per-class instance counts + pairwise class-intersection counts —
+    * Schema.getTypesCount / getTypesIntersectionCount
+    * (Schema.java:838-896). `types` = (entity, cls) facts. */
+  def classIntersections(types: DataFrame): DataFrame = {
+    val t = types.toDF("entity", "cls").distinct()
+    t.as("a").join(t.as("b"), col("a.entity") === col("b.entity"))
+      .groupBy(col("a.cls").as("c1"), col("b.cls").as("c2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Ground-fact membership — KB.contains (KB.java:1092-1159). */
   def containsFact(triples: DataFrame, subj: String, pred: String, obj: String): Boolean =
     !triples.where(col("subj") === subj && col("pred") === pred && col("obj") === obj)

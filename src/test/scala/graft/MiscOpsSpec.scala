@@ -79,4 +79,23 @@ class MiscOpsSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet
     assert(inv == Set("1")) // object "1" has subjects {a, b}
   }
+
+  test("TSV fact source round-trips both reference layouts") {
+    import graft.sources.TsvFacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsv")
+    val f3 = dir.resolve("facts3.tsv")
+    java.nio.file.Files.writeString(f3,
+      "Luis\twasBornIn\tGuayaquil .\nTelecom\tisLocatedIn\tParis\n")
+    val t3 = TsvFacts.load(spark, f3.toString)
+    assert(t3.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet ==
+      Set(("Luis", "wasBornIn", "Guayaquil"), ("Telecom", "isLocatedIn", "Paris")))
+
+    val f4 = dir.resolve("facts4.tsv")
+    java.nio.file.Files.writeString(f4, "1\tLuis\tlivesIn\tParis\n")
+    assert(TsvFacts.load(spark, f4.toString).collect()(0).getString(2) == "Paris")
+
+    val out = dir.resolve("dump").toString
+    TsvFacts.dump(t3, out)
+    assert(TsvFacts.load(spark, out).count() == 2)
+  }
 }
