@@ -16,8 +16,10 @@ import org.apache.spark.sql.SparkSession
  *     `SPARK_GRAFT_SF_DIR` (what the driver grades round over round).
  *
  * Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (query part),
- * SPARK_GRAFT_BENCH_N (default 8; pipeline runs at N and 4N),
- * SPARK_GRAFT_BENCH_DOCS (default 400k), SPARK_GRAFT_BENCH_SKIP_SCALING.
+ * SPARK_GRAFT_BENCH_N (default 1; pipeline runs at N and 4N in
+ * taskset-pinned subprocesses), SPARK_GRAFT_BENCH_DOCS (default 4M),
+ * SPARK_GRAFT_BENCH_REPS (default 1; min taken when more),
+ * SPARK_GRAFT_BENCH_SKIP_SCALING.
  */
 object Bench {
 
@@ -27,48 +29,47 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Run the whole pipeline at one parallelism level in a fresh session
-    * and work dir; returns (triples, best-of-`reps` wallSec). min-of-reps
-    * because the sandbox VM shows CPU-steal spikes — the minimum is the
-    * stable estimator of the job's true cost. */
+  /**
+   * Run one parallelism level in its own JVM pinned to exactly `cores`
+   * CPUs via `taskset`; returns (triples, best-of-`reps` wallSec).
+   *
+   * A pinned subprocess is the honest local[N] proxy for an N-core
+   * executor: inside one shared JVM, a "local[1]" run still spends GC,
+   * shuffle-compression and netty cycles on OTHER physical cores, which
+   * understates T_N and therefore understates scaling efficiency.
+   * min-of-reps inside the subprocess because the sandbox VM shows
+   * CPU-steal spikes — the minimum is the stable estimator of the job's
+   * true cost. Falls back to an unpinned subprocess without taskset.
+   */
   private def pipelineRun(
       cores: Int, nDocs: Long, nEntities: Int, reps: Int): (Long, Double) = {
-    val spark = Sessions.local(cores, s"graft-bench-local$cores")
-    spark.sparkContext.setLogLevel("WARN")
-    // tmpfs when present: on a real cluster, storage bandwidth scales with
-    // executor count; a single local disk does not, so measuring the
-    // CPU-side scaling requires taking the shared-disk bottleneck out.
-    val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
-      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get("/tmp")
-    val dir = java.nio.file.Files.createTempDirectory(base, s"graft-bench-$cores").toString
-    try {
-      // JIT/classload warm-up pilot (not timed): a cold JVM penalizes
-      // whichever level runs first and would skew the ratio
-      val warm = new Pipeline(spark, s"$dir/warmup", nBuckets = 32)
-      warm.run(Corpus.generate(spark, 50000, nEntities),
-        inputFp = Some("warmup")).count()
-
-      val runs = (1 to reps).map { r =>
-        timed {
-          // identical job at every level: fixed bucket layout
-          val p = new Pipeline(spark, s"$dir/main$r", nBuckets = 32)
-          p.run(Corpus.generate(spark, nDocs, nEntities),
-            inputFp = Some(s"corpus:42:$nDocs:$nEntities")).count()
-        }
-      }
-      (runs.head._1, runs.map(_._2).min)
-    } finally {
-      // don't leak tmpfs space across levels
-      import scala.jdk.CollectionConverters._
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
-          .iterator().asScala.foreach(java.nio.file.Files.deleteIfExists(_))
-      spark.stop()
-      // a fresh context per level needs the old one fully gone
-      org.apache.spark.sql.SparkSession.clearActiveSession()
-      org.apache.spark.sql.SparkSession.clearDefaultSession()
-    }
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val mem    = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    val pinned = new java.io.File("/usr/bin/taskset").exists()
+    val prefix = if (pinned) Seq("taskset", "-c", s"0-${cores - 1}") else Nil
+    val cmd = prefix ++ Seq(javaBin) ++ addOpens ++ Seq(
+      s"-Xmx$mem", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.tools.PipelineLevel",
+      cores.toString, nDocs.toString, nEntities.toString, reps.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    val line = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
+      .find(_.startsWith("GRAFT_LEVEL"))
+    proc.waitFor()
+    val kv = line.getOrElse(sys.error(s"level $cores produced no result line"))
+      .split("\\s+").collect { case s if s.contains("=") =>
+        val Array(k, v) = s.split("="); k -> v
+      }.toMap
+    (kv("triples").toLong, kv("bestSec").toDouble)
   }
 
   def main(args: Array[String]): Unit = {
@@ -79,11 +80,11 @@ object Bench {
     // BASELINE.md §scaling); higher pairs measure the bandwidth wall, not
     // the job's parallel scalability.
     val n     = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "1").toInt
-    val docs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4500000").toLong
+    val docs  = sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "4000000").toLong
     val vocab = 10000
 
     // ---- part 1: pipeline throughput at N and 4N (same input) ----
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
     val scaling = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")) "" else {
       val (t1, s1) = pipelineRun(n, docs, vocab, reps)
       val (t4, s4) = pipelineRun(4 * n, docs, vocab, reps)

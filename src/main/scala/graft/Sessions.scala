@@ -17,6 +17,11 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd: at 100 TB the storage/network bytes dominate cost — trading
+      // task CPU for ~2× smaller files is the right default, and it keeps
+      // the write path CPU-dense (scales with cores, unlike kernel page
+      // traffic)
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       // shuffle/spill on tmpfs when present — a single local disk does not

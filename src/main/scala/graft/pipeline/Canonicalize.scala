@@ -22,10 +22,11 @@ import org.apache.spark.sql.functions._
  */
 object Canonicalize {
 
-  /** distinct aliases → blocking-key edges. */
+  /** distinct aliases → blocking-key edges. One scan of the mention
+    * stream (explode both sides in place), not one per side. */
   def aliasKeyEdges(mentions: DataFrame): DataFrame = {
-    val aliases = mentions.select(col("subj_alias").as("alias"))
-      .union(mentions.select(col("obj_alias").as("alias")))
+    val aliases = mentions
+      .select(explode(array(col("subj_alias"), col("obj_alias"))).as("alias"))
       .distinct()
     val k1 = aliases.select(col("alias").as("src"),
       concat(lit("k1:"), lower(col("alias"))).as("dst"))
