@@ -308,6 +308,18 @@ object SparkEntry {
         .select(col("subj"), col("pred"), col("obj"))
     },
 
+    // ---- §2.1 dictionary: deterministic dense ids + encode round-trip
+    "kb_dictionary" -> ((s, dir) => Dictionary.build(tpchTriples(s, dir))),
+    "kb_encoded" -> { (s, dir) =>
+      val triples = tpchTriples(s, dir)
+      Dictionary.encode(triples, Dictionary.build(triples))
+    },
+
+    // ---- composed near-dup flow: LSH candidates → exact-Jaccard verify
+    //      → connected components → keeper per cluster
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.nearDupClusters(t(s, dir, "documents"), minJaccard = 0.3)),
+
     // ===== event-stream operators (windowed computations) =====
     "events_sessionize" -> ((s, dir) =>
       graft.functions.Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
@@ -375,23 +387,55 @@ object SparkEntry {
        |FROM t""".stripMargin
   }
 
-  private def minhashSql: String = {
+  /** Shared CTE chain ending in `cand` (the distinct LSH candidate
+    * pairs) — reused by the pair query and the clustering oracle. */
+  private def minhashCandCtes: String = {
     val sigCols = (0 until Dedup.Bands * Dedup.Rows)
       .map(i => s"min((${Dedup.A(i)} * h + ${Dedup.B(i)}) % $P) AS mh$i").mkString(",\n  ")
     val bandRows = (0 until Dedup.Bands).map { b =>
       val cols = (0 until Dedup.Rows).map(r => s"mh${b * Dedup.Rows + r}")
       s"SELECT doc_id, $b AS band, ${cols.mkString(" || ':' || ")} AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        |h AS (SELECT doc_id, ${hash32Sql("tk")} % $P AS h FROM tok),
        |sig AS (SELECT doc_id,
        |  $sigCols
        |FROM h GROUP BY doc_id),
-       |bands AS ($bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id""".stripMargin
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashSql: String =
+    s"""WITH $minhashCandCtes
+       |SELECT doc_a, doc_b FROM cand""".stripMargin
+
+  /** LSH candidates → exact bigram-Jaccard verify → min-reachable
+    * component (recursive CTE) → keeper per doc. */
+  private def dedupClustersSql: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |sh2 AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform(range(1, len(toks2)), i -> toks2[i] || ' ' || toks2[i+1]))) AS ng
+       |  FROM (SELECT doc_id, $toksSql AS toks2 FROM documents) WHERE len(toks2) >= 2),
+       |cdocs AS (SELECT DISTINCT doc_id FROM (
+       |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand)),
+       |shc AS (SELECT * FROM sh2 WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+       |szc AS (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |  FROM shc a JOIN shc b ON a.ng = b.ng AND a.doc_id < b.doc_id
+       |  WHERE EXISTS (SELECT 1 FROM cand c WHERE c.doc_a = a.doc_id AND c.doc_b = b.doc_id)
+       |  GROUP BY 1, 2),
+       |ver AS (SELECT doc_a, doc_b FROM inter
+       |  JOIN szc sa ON sa.doc_id = doc_a JOIN szc sb ON sb.doc_id = doc_b
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3),
+       |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+       |  UNION SELECT doc_b, doc_a FROM ver),
+       |r(doc, reach) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.doc, e.b FROM r JOIN e ON e.a = r.reach)
+       |SELECT doc AS doc_id, min(reach) AS keeper FROM r GROUP BY doc""".stripMargin
 
   private def simhashCte: String = {
     val sums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
@@ -465,6 +509,26 @@ object SparkEntry {
          |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
     "dedup_minhash_lsh" -> minhashSql,
+    "dedup_clusters" -> dedupClustersSql,
+    "kb_dictionary" ->
+      s"""$triplesCte,
+         |terms AS (SELECT DISTINCT term FROM (
+         |  SELECT subj AS term FROM triples
+         |  UNION SELECT pred FROM triples
+         |  UNION SELECT obj FROM triples))
+         |SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id FROM terms""".stripMargin,
+    "kb_encoded" ->
+      s"""$triplesCte,
+         |terms AS (SELECT DISTINCT term FROM (
+         |  SELECT subj AS term FROM triples
+         |  UNION SELECT pred FROM triples
+         |  UNION SELECT obj FROM triples)),
+         |d AS (SELECT term, CAST(row_number() OVER (ORDER BY term) AS BIGINT) AS id FROM terms)
+         |SELECT ds.id AS subj_id, dp.id AS pred_id, do_.id AS obj_id
+         |FROM triples
+         |JOIN d ds ON ds.term = subj
+         |JOIN d dp ON dp.term = pred
+         |JOIN d do_ ON do_.term = obj""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $simhashCte,
          |shs AS (SELECT sh.doc_id, simhash, source FROM sh JOIN documents USING (doc_id))

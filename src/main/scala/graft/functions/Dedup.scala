@@ -104,6 +104,41 @@ object Dedup {
       .distinct()
   }
 
+  /**
+   * End-to-end near-duplicate clustering: MinHash-LSH candidate pairs →
+   * exact bigram-Jaccard verification (computed only for docs that
+   * appear in some candidate pair) → connected components over the
+   * verified similarity graph → keeper = smallest doc_id per cluster.
+   * Docs in no cluster keep themselves. This is the production shape:
+   * the quadratic work is bounded by LSH bucket sizes, the verification
+   * by candidate count, and the clustering by the verified-edge count.
+   */
+  def nearDupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+    val cand = minhashLsh(docs) // (doc_a, doc_b), doc_a < doc_b
+    val sh   = shingles(docs).select("doc_id", "ng")
+      .join(cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left_semi") // only LSH candidates
+    val verified = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
+      .where(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")) >= minJaccard)
+      // zero-pad ids: CC picks the LEXICOGRAPHIC min as representative,
+      // which must coincide with the numeric min ("10" < "9" otherwise)
+      .select(lpad(col("doc_a").cast("string"), 20, "0").as("src"),
+        lpad(col("doc_b").cast("string"), 20, "0").as("dst"))
+    val comp = graft.plans.ConnectedComponents.run(verified)
+      .select(col("id").cast("long").as("doc_id"), col("component").cast("long").as("keeper"))
+    docs.select(col("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+  }
+
   /** 32-bit SimHash per doc: bit b of the fingerprint is set iff more
     * than half of the doc's distinct tokens have bit b set in their
     * 32-bit hash. 32 conditional sums in ONE aggregation — no bit
