@@ -65,6 +65,32 @@ final case class Rule(head: Atom, body: List[Atom]) {
     s"$b ⇒ $head"
   }
 
+  /** Datalog rendering `h(s,o) <= b1(s,o), b2(s,o)` with angle brackets
+    * stripped and pseudo-atoms dropped (Rule.getDatalogString /
+    * toDatalog, reference rules/.../Rule.java:1359-1383). */
+  def datalogString: String = {
+    def t(x: Term): String = x match {
+      case Var(n)   => s"?$n"
+      case Const(v) => v.replace("<", "").replace(">", "")
+    }
+    def atom(a: Atom) = s"${t(a.p)}(${t(a.s)},${t(a.o)})"
+    val bodyStr = body.filterNot(_.isPseudo).map(atom).mkString(", ")
+    s"${atom(head)} <= $bodyStr"
+  }
+
+  /** AnyBURL rendering: head variables become X/Y, remaining variables
+    * A, B, … in order of appearance (AnyBurlFormatter.java:20-45). */
+  def anyBurlString: String = {
+    var s = datalogString
+    val headVarNames = head.vars.map(v => s"?${v.name}")
+    headVarNames.zip(Seq("X", "Y")).foreach { case (v, r) => s = s.replace(v, r) }
+    var next = 'A'
+    "\\?[A-Za-z0-9]+".r.findAllIn(s).toSeq.distinct.foreach { v =>
+      s = s.replace(v, next.toString); next = (next + 1).toChar
+    }
+    s
+  }
+
   /** Deterministic AMIE-style rule string: body atoms sorted by
     * (pred, obj, subj) then ` => ` head (Rule.java:1186-1236). */
   def amieString: String = {

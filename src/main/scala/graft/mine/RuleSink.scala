@@ -37,4 +37,25 @@ object RuleSink {
       .write.mode("overwrite")
       .option("sep", "\t").option("header", "true")
       .csv(path)
+
+  /** Datalog-like format (DatalogLikeRuleFormatter): same columns, rule
+    * rendered `h(s,o) <= b1(..), b2(..)`. */
+  def toDatalogDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {
+    import spark.implicits._
+    rules
+      .map(s => (s.rule.datalogString, s.headCoverage, s.stdConfidence,
+        s.pcaConfidence, s.support, s.bodySize, s.pcaBodySize, s.functionalVariable))
+      .toDF(Columns: _*)
+      .orderBy("Rule")
+  }
+
+  /** AnyBURL export (AnyBurlFormatter.java:38-43 column set, headerless):
+    * PcaBodySize, Support, PcaConfidence, Rule-with-X/Y/A… variables. */
+  def toAnyBurlDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {
+    import spark.implicits._
+    rules
+      .map(s => (s.pcaBodySize, s.support, s.pcaConfidence, s.rule.anyBurlString))
+      .toDF("PcaBodySize", "Support", "PcaConfidence", "Rule")
+      .orderBy("Rule")
+  }
 }

@@ -98,4 +98,26 @@ class MiscOpsSpec extends AnyFunSuite {
     TsvFacts.dump(t3, out)
     assert(TsvFacts.load(spark, out).count() == 2)
   }
+
+  test("datalog and AnyBURL rule formats match reference rendering") {
+    val r = Rule(Atom(Var("a"), Const("<livesIn>"), Var("b")),
+      List(Atom(Var("a"), Const("worksAt"), Var("c")),
+        Atom(Var("c"), Const("isLocatedIn"), Var("b"))))
+    assert(r.datalogString == "livesIn(?a,?b) <= worksAt(?a,?c), isLocatedIn(?c,?b)")
+    assert(r.anyBurlString == "livesIn(X,Y) <= worksAt(X,A), isLocatedIn(A,Y)")
+    val burl = RuleSink.toAnyBurlDF(spark, Seq(ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?a")))
+    assert(burl.columns.toSeq == Seq("PcaBodySize", "Support", "PcaConfidence", "Rule"))
+  }
+
+  test("dictionary: dense sorted ids, encode/decode round-trip") {
+    val triples = graft.kb.Fixtures.baseKB(spark)
+    val dict = Dictionary.build(triples)
+    val ids = dict.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // ids are exactly the 1..V ranks of the sorted vocabulary
+    val sortedTerms = ids.keys.toSeq.sorted
+    assert(sortedTerms.zipWithIndex.forall { case (t, i) => ids(t) == i + 1 })
+    val back = Dictionary.decode(Dictionary.encode(triples, dict), dict)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(back == graft.kb.Fixtures.baseFacts.map(t => (t.subj, t.pred, t.obj)).toSet)
+  }
 }
