@@ -102,6 +102,68 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
 
   def score(rule: Rule): ScoredRule = scoreAll(Seq(rule)).head
 
+  /**
+   * Type-I hard-shape detection (AbstractKB.identifyHardQueryTypeI,
+   * kb/.../AbstractKB.java:292-317): two 2-variable body atoms with the
+   * SAME relation sharing exactly one position — `r(x,z) r(y,z)` (shared
+   * object) or `r(z,x) r(z,y)` (shared subject). Like the reference,
+   * only 3-atom rules qualify (MiningAssistant.java:988-992).
+   */
+  def hardTypeI(r: Rule): Option[(Atom, Atom, Boolean)] =
+    if (r.body.size != 2) None
+    else (r.body: @unchecked) match {
+      case List(a1, a2)
+          if a1.p == a2.p && a1.vars.size == 2 && a2.vars.size == 2 =>
+        if (a1.s != a2.s && a1.o == a2.o) Some((a1, a2, true))  // shared object
+        else if (a1.s == a2.s && a1.o != a2.o) Some((a1, a2, false)) // shared subject
+        else None
+      case _ => None
+    }
+
+  /**
+   * Standard-confidence upper bound for type-I shapes
+   * (MiningAssistant.getStdConfidenceUpperBound, MA:1321-1338):
+   * support / #distinct subjects (resp. objects) of the body relation —
+   * a pure stats-pass lookup, zero jobs.
+   */
+  def stdConfidenceUpperBound(r: Rule, support: Long): Option[Double] =
+    hardTypeI(r).collect { case (a1, _, sharedObj) =>
+      val Const(rel) = a1.p: @unchecked
+      val st = stats.relations.get(rel)
+      val denom = st.map(s => if (sharedObj) s.distinctSubj else s.distinctObj).getOrElse(0L)
+      if (denom == 0) 0.0 else support.toDouble / denom
+    }
+
+  /**
+   * PCA-confidence upper bound (MA:1281-1313): drop the body atom that
+   * does not contain the functional head variable, add the existential
+   * head atom unless redundant, and count distinct bindings of the
+   * functional variable over this *relaxed* (cheaper) query.
+   */
+  def pcaConfidenceUpperBound(r: Rule, support: Long): Option[Double] =
+    hardTypeI(r).flatMap { case (a1, a2, sharedObj) =>
+      val projVar = (if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o) match {
+        case v: Var => v
+        case _      => return None // instantiated head: bound not applicable
+      }
+      val (dropped, remained) =
+        if (!a1.vars.contains(projVar)) (a1, a2)
+        else if (!a2.vars.contains(projVar)) (a2, a1)
+        else return None
+      var easy: List[Atom] = r.body.filterNot(_ == dropped)
+      // hardCaseInfo[1] = the NON-shared position; redundant iff the kept
+      // atom has the head relation and that position is the functional one
+      val differingPosIsSubject = sharedObj
+      val functionalIsSubject   = headRelationFunctionalIsSubject(r)
+      if (remained.p != r.head.p || differingPosIsSubject != functionalIsSubject) {
+        val fresh = freshVar(r)
+        easy = easy :+ (if (functionalIsSubject) r.head.copy(o = fresh)
+                        else r.head.copy(s = fresh))
+      }
+      val denom = QueryBuilder.countDistinctBindings(triples, Seq(projVar), easy)
+      Some(if (denom == 0) 0.0 else support.toDouble / denom)
+    }
+
   /** Support alone (computeCardinality, DMA:636-655). */
   def support(r: Rule): Long =
     QueryBuilder.countDistinctBindings(triples, r.headVars, r.atoms)

@@ -17,6 +17,10 @@ final case class MinerConfig(
     minStdConfidence: Double = 0.0,
     maxDepth: Int = 3,
     enableConstants: Boolean = false,
+    /** type-I confidence upper-bound pruning (MA:988-1023) — skip exact
+      * metric computation for rules whose cheap bound already fails the
+      * thresholds. Pure optimization: never changes emitted rules. */
+    enableConfidenceBounds: Boolean = false,
     /** max occurrences of one relation in a rule (recursivity guard,
       * DefaultMiningAssistant.java:212-214). */
     maxRelationOccurrence: Int = 2)
@@ -50,8 +54,9 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
   private val candCol  = "__cand_rel" // pred-position variable of the template atom
 
   /** Search node: rule + best PCA confidence among output ancestors
-    * (skyline pruning floor, MiningAssistant.java:1212-1272). */
-  private final case class Node(rule: Rule, ancestorConf: Double)
+    * (skyline pruning floor, MiningAssistant.java:1212-1272) + the
+    * support measured when the rule was generated (for bound pruning). */
+  private final case class Node(rule: Rule, ancestorConf: Double, supportHint: Long = -1L)
 
   private def headRel(r: Rule): String =
     r.head.p match { case Const(p) => p; case _ => "" }
@@ -76,7 +81,16 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
 
     while (level.nonEmpty) {
       // ---- Phase A: score closed rules of this generation (one job) ----
-      val closed = level.filter(_.rule.isClosed)
+      // optional type-I upper-bound pre-prune: a cheap bound below the
+      // threshold means the exact metrics cannot pass either
+      val closed = level.filter(_.rule.isClosed).filterNot { n =>
+        config.enableConfidenceBounds && n.supportHint >= 0 && {
+          val stdUB = metrics.stdConfidenceUpperBound(n.rule, n.supportHint)
+          val pcaUB = metrics.pcaConfidenceUpperBound(n.rule, n.supportHint)
+          (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
+          (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence))
+        }
+      }
       val scored: Map[String, ScoredRule] =
         metrics.scoreAll(closed.map(_.rule))
           .map(s => s.rule.canonical -> s).toMap
@@ -167,7 +181,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       if (ok) {
         val floor = math.max(parent.ancestorConf,
           outputConf.getOrElse(parent.rule.canonical, -1.0))
-        children += Node(child, floor)
+        children += Node(child, floor, supp)
       }
     }
     if (config.enableConstants) children ++= instantiateLevel(nodes, outputConf)
@@ -218,7 +232,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         val child = Rule(subAtom(parent.rule.head), parent.rule.body.map(subAtom))
         val floor = math.max(parent.ancestorConf,
           outputConf.getOrElse(parent.rule.canonical, -1.0))
-        out += Node(child, floor)
+        out += Node(child, floor, supp)
       }
     }
     out.toSeq

@@ -120,4 +120,38 @@ class MiscOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
     assert(back == graft.kb.Fixtures.baseFacts.map(t => (t.subj, t.pred, t.obj)).toSet)
   }
+
+  test("type-I confidence upper bounds match hand-computed values") {
+    import graft.kb.{Fixtures, KGStats}
+    val kb = Fixtures.baseKB(spark).cache()
+    val m  = new Metrics(kb, KGStats.compute(kb))
+    // hard shape: same relation sharing the object position
+    val hard = Rule(Atom(Var("x"), Const("livesIn"), Var("y")),
+      List(Atom(Var("x"), Const("wasBornIn"), Var("z")),
+        Atom(Var("y"), Const("wasBornIn"), Var("z"))))
+    assert(m.hardTypeI(hard).exists(_._3 == true))
+    // std bound: support / #distinct subjects of wasBornIn (= 3)
+    assert(m.stdConfidenceUpperBound(hard, 2) == Some(2.0 / 3))
+    // pca bound: drop the non-functional-var atom, add existential head:
+    // denom = |{x : wasBornIn(x,z) ∧ livesIn(x,·)}| = 3
+    assert(m.pcaConfidenceUpperBound(hard, 2) == Some(2.0 / 3))
+    // different relations → not a hard shape, bounds not applicable
+    val easy = Rule(Atom(Var("x"), Const("livesIn"), Var("c")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")),
+        Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    assert(m.hardTypeI(easy).isEmpty)
+    assert(m.stdConfidenceUpperBound(easy, 2).isEmpty)
+  }
+
+  test("bound pruning never changes the mined rule set") {
+    import graft.kb.Fixtures
+    val cfg = MinerConfig(minSupport = 2, minHeadCoverage = 0.1,
+      minPcaConfidence = 0.1, minStdConfidence = 0.1)
+    val without = new Miner(Fixtures.extendedKB(spark), cfg).mine()
+      .map(_.rule.canonical).toSet
+    val withB = new Miner(Fixtures.extendedKB(spark),
+      cfg.copy(enableConfidenceBounds = true)).mine()
+      .map(_.rule.canonical).toSet
+    assert(without == withB)
+  }
 }
