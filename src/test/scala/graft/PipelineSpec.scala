@@ -87,6 +87,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall == 1.0, s"recall $recall; missing: ${(want -- got).take(5)}")
   }
 
+  test("P/R holds at 20x scale with a 10x vocabulary (distributed-CC regime)") {
+    val docs = Corpus.generate(spark, 20000, 500)
+    val dir  = Files.createTempDirectory("graft-pr-big").toString
+    val p    = new Pipeline(spark, dir, nBuckets = 8)
+    p.run(docs, inputFp = Some("prbig:20000:500"))
+    val got = p.triples().select("subj", "pred", "obj").distinct()
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val want = docs.collect().flatMap(Corpus.oracleTriples).toSet
+    val tp = (got intersect want).size.toDouble
+    assert(tp / got.size == 1.0 && tp / want.size == 1.0,
+      s"P=${tp / got.size} R=${tp / want.size}")
+  }
+
   test("pipeline keeps lineage and is resumable from checkpoint manifests") {
     val docs = Corpus.generate(spark, 300, V)
     val dir  = Files.createTempDirectory("graft-resume").toString
