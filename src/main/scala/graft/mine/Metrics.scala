@@ -167,6 +167,69 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   /** Support alone (computeCardinality, DMA:636-655). */
   def support(r: Rule): Long =
     QueryBuilder.countDistinctBindings(triples, r.headVars, r.atoms)
+
+  /** Overlap tables, built lazily: only the functionality heuristic pays
+    * for them (same gating as the reference, AMIE.java:936-944). */
+  lazy val overlapStats: OverlapStats = OverlapStats.compute(triples)
+
+  /** Type-III hard shape (AbstractKB.identifyHardQueryTypeIII,
+    * AbstractKB.java:352-383): two 2-variable body atoms sharing exactly
+    * one variable. Returns (t1, t2, posInT2, posInT1) of the shared var. */
+  def hardTypeIII(r: Rule): Option[(Atom, Atom, Int, Int)] =
+    if (r.body.size != 2) None
+    else {
+      val List(t1, t2) = r.body: @unchecked
+      if (t1.vars.size != 2 || t2.vars.size != 2) None
+      else {
+        def pos(t: Term, a: Atom): Int =
+          if (t == a.s) 0 else if (t == a.o) 2 else -1
+        val p1 = pos(t1.s, t2)
+        val p2 = pos(t1.o, t2)
+        if ((p1 != -1 && p2 != -1) || (p1 == -1 && p2 == -1)) None
+        else if (p1 != -1) Some((t1, t2, p1, 0))
+        else Some((t1, t2, p2, 2))
+      }
+    }
+
+  /**
+   * PCA-confidence approximation for 3-atom rules — the functionality
+   * heuristic (MiningAssistant.calculateConfidenceApproximationFor3Atoms,
+   * MA:1127-1202; AMIE+ §6.2.2): estimates the PCA denominator from
+   * per-relation functionalities, column sizes and the overlap tables —
+   * pure broadcast-stats arithmetic, ZERO joins. Used only to prune
+   * (estimate < threshold ⇒ drop); exact metrics are never replaced.
+   */
+  def pcaApproximation3(r: Rule, support: Long): Option[Double] =
+    hardTypeIII(r).flatMap { case (t1, t2, posInT2, posInT1) =>
+      val funVar = (if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o) match {
+        case v: Var => v; case _ => return None
+      }
+      val funPos = if (headRelationFunctionalIsSubject(r)) 0 else 2
+      // input = atom carrying the functional head variable
+      val (input, output, posCommonInput, posCommonOutput) =
+        if (!t1.vars.contains(funVar) && t2.vars.contains(funVar)) (t2, t1, posInT2, posInT1)
+        else if (!t2.vars.contains(funVar) && t1.vars.contains(funVar)) (t1, t2, posInT1, posInT2)
+        else return None
+      val (inRel, outRel, headRel) = (input.p, output.p, r.head.p) match {
+        case (Const(a), Const(b), Const(c)) => (a, b, c)
+        case _                              => return None
+      }
+      def colFun(rel: String, subjectSide: Boolean): Double =
+        if (subjectSide) stats.functionality(rel) else stats.inverseFunctionality(rel)
+      val funcInput  = colFun(inRel, subjectSide = posCommonInput != 0)
+      val funcOutput = colFun(outRel, subjectSide = posCommonOutput == 0)
+      val ifuncOutput = colFun(outRel, subjectSide = posCommonOutput != 0)
+      val nentities = stats.relations.get(inRel)
+        .map(s => if (posCommonInput == 0) s.distinctSubj else s.distinctObj)
+        .getOrElse(0L).toDouble
+      val overlapBody = overlapStats.overlap(inRel, outRel, posCommonInput, posCommonOutput)
+      val posInput    = if (posCommonInput == 0) 2 else 0 // non-shared input side
+      val overlapHead = overlapStats.overlap(inRel, headRel, posInput, funPos)
+      if (funcInput == 0 || funcOutput == 0 || nentities == 0) return None
+      val f4    = (1.0 / funcInput) * (overlapBody / nentities)
+      val ratio = overlapHead * f4 * (ifuncOutput / funcOutput)
+      if (ratio == 0) None else Some(support.toDouble / ratio)
+    }
 }
 
 object Metrics {
@@ -175,4 +238,39 @@ object Metrics {
     * each job's plan bounded while still batching dozens of measurements
     * per job (vs the reference's one KB call per rule). */
   val JobChunk = 24
+}
+
+/**
+ * Relation-pair overlap tables (reference KB.java:469-648: subject–
+ * subject, subject–object, object–object entity overlaps), collected
+ * once and used as broadcast-style driver maps by the functionality
+ * heuristic. Size is #relation-pairs — tiny relative to the KB.
+ */
+final class OverlapStats(
+    ss: Map[(String, String), Long],
+    so: Map[(String, String), Long],
+    oo: Map[(String, String), Long]) {
+
+  /** |entities of r1 at pos1 ∩ entities of r2 at pos2|; pos 0 = subject,
+    * 2 = object (the reference's column codes). */
+  def overlap(r1: String, r2: String, pos1: Int, pos2: Int): Double =
+    ((pos1, pos2) match {
+      case (0, 0) => ss.get((r1, r2)).orElse(ss.get((r2, r1)))
+      case (2, 2) => oo.get((r1, r2)).orElse(oo.get((r2, r1)))
+      case (0, 2) => so.get((r1, r2))
+      case (2, 0) => so.get((r2, r1))
+      case _      => None
+    }).getOrElse(0L).toDouble
+}
+
+object OverlapStats {
+  def compute(triples: org.apache.spark.sql.DataFrame): OverlapStats = {
+    def collectPairs(pos1: String, pos2: String) =
+      graft.kb.KGStats.overlaps(triples, pos1, pos2).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    new OverlapStats(
+      collectPairs("subj", "subj"),
+      collectPairs("subj", "obj"),
+      collectPairs("obj", "obj"))
+  }
 }

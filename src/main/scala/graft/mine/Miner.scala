@@ -21,6 +21,11 @@ final case class MinerConfig(
       * metric computation for rules whose cheap bound already fails the
       * thresholds. Pure optimization: never changes emitted rules. */
     enableConfidenceBounds: Boolean = false,
+    /** functionality-heuristic PCA estimation for 3-atom rules
+      * (MA:1127-1202, AMIE+ §6.2.2). Unlike the exact bounds this is an
+      * ESTIMATE and may over-prune — same trade the reference's `-full`
+      * mode makes. */
+    enableFunctionalityHeuristic: Boolean = false,
     /** max occurrences of one relation in a rule (recursivity guard,
       * DefaultMiningAssistant.java:212-214). */
     maxRelationOccurrence: Int = 2)
@@ -84,12 +89,16 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       // optional type-I upper-bound pre-prune: a cheap bound below the
       // threshold means the exact metrics cannot pass either
       val closed = level.filter(_.rule.isClosed).filterNot { n =>
-        config.enableConfidenceBounds && n.supportHint >= 0 && {
-          val stdUB = metrics.stdConfidenceUpperBound(n.rule, n.supportHint)
-          val pcaUB = metrics.pcaConfidenceUpperBound(n.rule, n.supportHint)
-          (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
-          (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence))
-        }
+        n.supportHint >= 0 && (
+          (config.enableConfidenceBounds && {
+            val stdUB = metrics.stdConfidenceUpperBound(n.rule, n.supportHint)
+            val pcaUB = metrics.pcaConfidenceUpperBound(n.rule, n.supportHint)
+            (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
+            (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence))
+          }) ||
+          (config.enableFunctionalityHeuristic && config.minPcaConfidence > 0 &&
+            metrics.pcaApproximation3(n.rule, n.supportHint)
+              .exists(_ < config.minPcaConfidence)))
       }
       val scored: Map[String, ScoredRule] =
         metrics.scoreAll(closed.map(_.rule))

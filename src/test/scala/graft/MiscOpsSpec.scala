@@ -154,4 +154,21 @@ class MiscOpsSpec extends AnyFunSuite {
       .map(_.rule.canonical).toSet
     assert(without == withB)
   }
+
+  test("functionality-heuristic PCA approximation matches hand computation") {
+    import graft.kb.{Fixtures, KGStats}
+    val kb = Fixtures.baseKB(spark).cache()
+    val m  = new Metrics(kb, KGStats.compute(kb))
+    val r = Rule(Atom(Var("x"), Const("livesIn"), Var("c")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")),
+        Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    // shared var t: position 2 in worksAt, 0 in isLocatedIn
+    assert(m.hardTypeIII(r).exists { case (_, _, pInT2, pInT1) => pInT2 == 0 && pInT1 == 2 })
+    // hand-computed on the 12-fact KB (see scaladoc derivation):
+    // funcInput(worksAt@subj)=1, funcOutput=ifuncOutput(isLocatedIn)=1,
+    // nentities(worksAt objects)=2, overlapBody(isLocatedIn.subj ∩
+    // worksAt.obj)=1, overlapHead(worksAt.subj ∩ livesIn.subj)=3
+    // → ratio = 3 * (1/1)*(1/2) * 1 = 1.5; estimate = support/ratio = 2.0
+    assert(m.pcaApproximation3(r, support = 3) == Some(2.0))
+  }
 }
