@@ -191,6 +191,93 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       }
     }
 
+  /** Single-variable-path test (Rule.containsSinglePath, reference
+    * rules/.../Rule.java:1612-1644): both head terms are variables, all
+    * body terms are variables, head variables occur once in the body and
+    * every other body variable exactly twice — i.e. the body is a chain
+    * between the head variables. */
+  def containsSinglePath(r: Rule): Boolean = {
+    val headVars = r.head.vars
+    if (headVars.size != 2 || r.body.isEmpty) return false
+    val bodyTerms = r.body.flatMap(a => Seq(a.s, a.o))
+    if (bodyTerms.exists(!_.isInstanceOf[Var])) return false
+    val freq = bodyTerms.groupBy(identity).map { case (k, v) => k -> v.size }
+    bodyTerms.distinct.forall { v =>
+      if (headVars.contains(v)) freq(v) == 1 else freq(v) == 2
+    }
+  }
+
+  /** Atoms ordered along the chain starting at the functional head
+    * variable (Rule.getCanonicalPath, Rule.java:1668-1719). */
+  def canonicalPath(r: Rule): List[Atom] = {
+    val start = if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o
+    val end   = if (headRelationFunctionalIsSubject(r)) r.head.o else r.head.s
+    val path  = scala.collection.mutable.ListBuffer[Atom]()
+    var joinV: Term = start
+    var last: Atom  = null
+    var guard = 0
+    while (joinV != end && guard <= r.body.size) {
+      val atom = r.body.find(a => a != last && (a.s == joinV || a.o == joinV)).get
+      path += atom
+      joinV = if (atom.s == joinV) atom.o else atom.s
+      last = atom
+      guard += 1
+    }
+    path.toList
+  }
+
+  /** Positions (0=subject, 2=object) at which two atoms share a term
+    * (Rule.joinPositions, Rule.java:1729-1741) — same first-match order. */
+  private def joinPositions(a1: Atom, a2: Atom): (Int, Int) =
+    if (a1.s == a2.s) (0, 0)
+    else if (a1.o == a2.o) (2, 2)
+    else if (a1.s == a2.o) (0, 2)
+    else (2, 0)
+
+  private def relName(t: Term): Option[String] =
+    t match { case Const(c) => Some(c); case _ => None }
+
+  /**
+   * PCA approximation for >3-atom single-path rules — the telescoped
+   * product over the chain (MA:1037-1091; last formula of AMIE+ p.15):
+   * the denominator multiplies, per chain hop, the join overlap scaled
+   * by functionalities and the previous relation's column size. Pure
+   * stats arithmetic; pruning-only like [[pcaApproximation3]].
+   */
+  def pcaApproximationPath(r: Rule, support: Long): Option[Double] = {
+    if (!containsSinglePath(r)) return None
+    val path = canonicalPath(r)
+    val headRel = relName(r.head.p).getOrElse(return None)
+    val rels    = path.map(a => relName(a.p).getOrElse(return None))
+
+    def fun(rel: String, inversed: Boolean): Double =
+      if (inversed) stats.inverseFunctionality(rel) else stats.functionality(rel)
+    def overlapOf(j: (Int, Int), r1: String, r2: String): Double = j match {
+      case (0, 0) => overlapStats.overlap(r1, r2, 0, 0)
+      case (2, 2) => overlapStats.overlap(r1, r2, 2, 2)
+      case (0, 2) => overlapStats.overlap(r1, r2, 0, 2)
+      case _      => overlapStats.overlap(r2, r1, 0, 2) // (2,0): swap sides
+    }
+
+    val j0    = joinPositions(path.head, r.head)
+    val funr1 = fun(rels.head, inversed = j0._1 != 0)
+    if (funr1 == 0) return None
+    var denominator = overlapOf(j0, rels.head, headRel) / funr1
+
+    for (i <- 1 until path.size) {
+      val j     = joinPositions(path(i - 1), path(i))
+      val rewrite = j._2 != 0
+      val funri  = fun(rels(i), rewrite)
+      val ifunri = fun(rels(i), !rewrite) // inverseFunctionality(r, rewrite)
+      val rng = stats.relations.get(rels(i - 1))
+        .map(s => if (j._1 == 0) s.distinctSubj else s.distinctObj)
+        .getOrElse(0L).toDouble
+      if (funri == 0 || rng == 0) return None
+      denominator *= (overlapOf(j, rels(i - 1), rels(i)) * ifunri) / (rng * funri)
+    }
+    if (denominator == 0) None else Some(support.toDouble / denominator)
+  }
+
   /**
    * PCA-confidence approximation for 3-atom rules — the functionality
    * heuristic (MiningAssistant.calculateConfidenceApproximationFor3Atoms,

@@ -96,9 +96,13 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
             (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
             (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence))
           }) ||
-          (config.enableFunctionalityHeuristic && config.minPcaConfidence > 0 &&
-            metrics.pcaApproximation3(n.rule, n.supportHint)
-              .exists(_ < config.minPcaConfidence)))
+          (config.enableFunctionalityHeuristic && config.minPcaConfidence > 0 && {
+            val est =
+              if (n.rule.length == 3) metrics.pcaApproximation3(n.rule, n.supportHint)
+              else if (n.rule.length > 3) metrics.pcaApproximationPath(n.rule, n.supportHint)
+              else None
+            est.exists(_ < config.minPcaConfidence)
+          }))
       }
       val scored: Map[String, ScoredRule] =
         metrics.scoreAll(closed.map(_.rule))

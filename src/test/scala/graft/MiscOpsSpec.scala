@@ -171,4 +171,32 @@ class MiscOpsSpec extends AnyFunSuite {
     // → ratio = 3 * (1/1)*(1/2) * 1 = 1.5; estimate = support/ratio = 2.0
     assert(m.pcaApproximation3(r, support = 3) == Some(2.0))
   }
+
+  test("single-path PCA approximation (>3 atoms) matches hand computation") {
+    import spark.implicits._
+    import graft.kb.KGStats
+    val kb = Seq(
+      ("a1", "r1", "b1"), ("a2", "r1", "b2"),
+      ("b1", "r2", "c1"), ("b2", "r2", "c2"),
+      ("c1", "r3", "d1"),
+      ("a1", "h", "d1")).toDF("subj", "pred", "obj").cache()
+    val m = new Metrics(kb, KGStats.compute(kb))
+    val r = Rule(Atom(Var("x"), Const("h"), Var("w")),
+      List(Atom(Var("x"), Const("r1"), Var("y")),
+        Atom(Var("y"), Const("r2"), Var("z")),
+        Atom(Var("z"), Const("r3"), Var("w"))))
+    assert(m.containsSinglePath(r))
+    assert(m.canonicalPath(r).map(_.p) ==
+      List(Const("r1"), Const("r2"), Const("r3")))
+    // hand computation: term0 = ss(r1,h)/fun(r1) = 1/1; hop r2:
+    // (so(r2,r1)*ifun(r2)) / (|r1.obj|*fun(r2)) = 2/2 = 1; hop r3:
+    // (so(r3,r2)*1)/(|r2.obj|*1) = 1/2 → denominator 0.5 → estimate 2.0
+    assert(m.pcaApproximationPath(r, support = 1) == Some(2.0))
+    // a non-chain rule (branching variable) is not applicable
+    val branch = Rule(Atom(Var("x"), Const("h"), Var("w")),
+      List(Atom(Var("x"), Const("r1"), Var("y")),
+        Atom(Var("x"), Const("r2"), Var("z")),
+        Atom(Var("z"), Const("r3"), Var("w"))))
+    assert(!m.containsSinglePath(branch))
+  }
 }
