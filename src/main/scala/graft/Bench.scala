@@ -62,8 +62,13 @@ object Bench {
       "graft.tools.PipelineLevel",
       cores.toString, nDocs.toString, nEntities.toString, reps.toString)
     val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    // drain the merged stream FULLY before waitFor(): stopping at the
+    // result line would let Spark's shutdown logging fill the OS pipe
+    // buffer and deadlock the child
     val line = scala.io.Source.fromInputStream(proc.getInputStream).getLines()
-      .find(_.startsWith("GRAFT_LEVEL"))
+      .foldLeft(Option.empty[String]) { (found, l) =>
+        found.orElse(Option.when(l.startsWith("GRAFT_LEVEL"))(l))
+      }
     proc.waitFor()
     val kv = line.getOrElse(sys.error(s"level $cores produced no result line"))
       .split("\\s+").collect { case s if s.contains("=") =>

@@ -555,7 +555,7 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
     "media_stats" ->
       s"""WITH $assetsCte
-         |SELECT kind, count(*) AS n, SUM(byte_len) AS total_bytes,
+         |SELECT kind, count(*) AS n, CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
          |  min(byte_len) AS min_bytes, max(byte_len) AS max_bytes,
          |  count(DISTINCT header_hex) AS distinct_headers
          |FROM a2 GROUP BY kind""".stripMargin,
@@ -718,7 +718,7 @@ object SparkEntry {
          |se AS (SELECT DISTINCT pred, subj AS e FROM triples),
          |oe AS (SELECT DISTINCT pred, obj AS e FROM triples)
          |SELECT a.pred AS p1, b.pred AS p2, count(*) AS overlap
-         |FROM se a JOIN oe b ON a.e = b.e AND a.pred <> b.pred
+         |FROM se a JOIN oe b ON a.e = b.e
          |GROUP BY a.pred, b.pred""".stripMargin,
     "kb_entity_occurrences" ->
       s"""$triplesCte,

@@ -114,28 +114,39 @@ object Dedup {
    * by candidate count, and the clustering by the verified-edge count.
    */
   def nearDupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
-    val cand = minhashLsh(docs) // (doc_a, doc_b), doc_a < doc_b
+    // cand is consumed 3× (candidate-doc semi-join, pair semi-join) and sh
+    // 3× (sizes + both sides of the intersection self-join): materialize
+    // each ONCE. localCheckpoint also truncates the MinHash lineage so the
+    // downstream CC plans stay flat; on a real cluster this becomes a
+    // reliable checkpoint to the job's checkpoint dir.
+    val cand = minhashLsh(docs).localCheckpoint(true) // (doc_a, doc_b), doc_a < doc_b
     val sh   = shingles(docs).select("doc_id", "ng")
       .join(cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi") // only LSH candidates
+    // zero-pad ids for CC: it picks the LEXICOGRAPHIC min as the
+    // representative, which must coincide with the numeric min for numeric
+    // ids ("10" < "9" otherwise). Ids keep their ORIGINAL type end-to-end:
+    // the padded form is only the CC key and is mapped back through the
+    // (pid → doc_id) projection — no lossy cast (non-numeric ids work too).
+    def pid(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
     val verified = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .where(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")) >= minJaccard)
-      // zero-pad ids: CC picks the LEXICOGRAPHIC min as representative,
-      // which must coincide with the numeric min ("10" < "9" otherwise)
-      .select(lpad(col("doc_a").cast("string"), 20, "0").as("src"),
-        lpad(col("doc_b").cast("string"), 20, "0").as("dst"))
+      .select(pid(col("doc_a")).as("src"), pid(col("doc_b")).as("dst"))
+    val ids  = docs.select(col("doc_id"), pid(col("doc_id")).as("pid"))
     val comp = graft.plans.ConnectedComponents.run(verified)
-      .select(col("id").cast("long").as("doc_id"), col("component").cast("long").as("keeper"))
-    docs.select(col("doc_id"))
-      .join(comp, Seq("doc_id"), "left")
+    val mapped = comp
+      .join(ids.select(col("pid").as("component"), col("doc_id").as("keeper")), "component")
+      .select(col("id").as("pid"), col("keeper"))
+    ids.join(mapped, Seq("pid"), "left")
       .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
   }
 

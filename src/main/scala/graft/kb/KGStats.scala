@@ -63,7 +63,9 @@ object KGStats {
   def overlaps(triples: DataFrame, pos1: String, pos2: String): DataFrame = {
     val a = triples.select(col("pred").as("p1"), col(pos1).as("e")).distinct()
     val b = triples.select(col("pred").as("p2"), col(pos2).as("e")).distinct()
-    a.join(b, "e").filter(col("p1") =!= col("p2") || lit(pos1 == pos2))
-      .groupBy("p1", "p2").agg(count(lit(1)).as("overlap"))
+    // keep p1 == p2 rows for ALL position pairs: the reference stores
+    // |subjects(r) ∩ objects(r)| too (KB.buildOverlapTables), and the PCA
+    // approximations need overlap(r, r, 0, 2) for relation-repeating rules
+    a.join(b, "e").groupBy("p1", "p2").agg(count(lit(1)).as("overlap"))
   }
 }

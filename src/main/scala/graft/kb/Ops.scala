@@ -50,10 +50,19 @@ object Ops {
       triples: DataFrame, vs: Seq[Var],
       bodyAtoms: Seq[Atom], headAtoms: Seq[Atom]): DataFrame = {
     val a = QueryBuilder.selectDistinct(triples, vs, bodyAtoms)
-    val b = QueryBuilder.bindings(triples, headAtoms)
-      .select(vs.collect { case v if headAtoms.exists(_.vars.contains(v)) => col(v.name) }: _*)
-      .distinct()
-    a.join(b, b.columns.toSeq, "left_anti")
+    val shared = vs.filter(v => headAtoms.exists(_.vars.contains(v)))
+    if (shared.isEmpty) {
+      // KB.differenceNoVarsInCommon (KB.java:3423-3453): with no shared
+      // variable the head is a binding-independent existence gate — every
+      // body binding survives iff the head query is unsatisfiable. An
+      // anti-join on the empty key set would be ill-formed.
+      if (existsQuery(triples, headAtoms)) a.limit(0) else a
+    } else {
+      val b = QueryBuilder.bindings(triples, headAtoms)
+        .select(shared.map(v => col(v.name)): _*)
+        .distinct()
+      a.join(b, b.columns.toSeq, "left_anti")
+    }
   }
 
   /** Distinct `vs` of `atoms` for which ∃ a match of `existsAtoms`
@@ -142,8 +151,15 @@ object Ops {
     * on the distinct set gives the same "≥ bound+1 ⇒ prune" decision
     * without a full count. */
   def countDistinctUpTo(
-      triples: DataFrame, bound: Long, vs: Seq[Var], atoms: Seq[Atom]): Long =
-    QueryBuilder.selectDistinct(triples, vs, atoms).limit((bound + 1).toInt).count()
+      triples: DataFrame, bound: Long, vs: Seq[Var], atoms: Seq[Atom]): Long = {
+    // limit() takes an Int; a bound at or beyond Int.MaxValue can never be
+    // exceeded by a 32-bit-partitioned distinct set cheaply — fall back to
+    // the exact count instead of overflowing (bound+1 would wrap negative).
+    if (bound >= Int.MaxValue - 1)
+      QueryBuilder.countDistinctBindings(triples, vs, atoms)
+    else
+      QueryBuilder.selectDistinct(triples, vs, atoms).limit(bound.toInt + 1).count()
+  }
 
   /**
    * Cardinality pseudo-relations

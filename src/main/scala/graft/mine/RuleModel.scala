@@ -79,16 +79,21 @@ final case class Rule(head: Atom, body: List[Atom]) {
   }
 
   /** AnyBURL rendering: head variables become X/Y, remaining variables
-    * A, B, … in order of appearance (AnyBurlFormatter.java:20-45). */
+    * A, B, … in order of appearance (AnyBurlFormatter.java:20-45).
+    * Renaming replaces whole `?var` tokens in one regex pass — sequential
+    * String.replace would corrupt rules where one variable name prefixes
+    * another (?z1 vs ?z10). */
   def anyBurlString: String = {
-    var s = datalogString
-    val headVarNames = head.vars.map(v => s"?${v.name}")
-    headVarNames.zip(Seq("X", "Y")).foreach { case (v, r) => s = s.replace(v, r) }
+    val s = datalogString
+    val rename = scala.collection.mutable.LinkedHashMap[String, String]()
+    head.vars.map(v => s"?${v.name}").zip(Seq("X", "Y"))
+      .foreach { case (v, r) => rename(v) = r }
     var next = 'A'
-    "\\?[A-Za-z0-9]+".r.findAllIn(s).toSeq.distinct.foreach { v =>
-      s = s.replace(v, next.toString); next = (next + 1).toChar
+    val varToken = "\\?[A-Za-z0-9]+".r
+    varToken.findAllIn(s).foreach { v =>
+      if (!rename.contains(v)) { rename(v) = next.toString; next = (next + 1).toChar }
     }
-    s
+    varToken.replaceAllIn(s, m => rename(m.matched))
   }
 
   /** Deterministic AMIE-style rule string: body atoms sorted by

@@ -42,9 +42,16 @@ object ConnectedComponents {
       if (probe <= driverThreshold) return runOnDriver(edges)
     }
 
+    // nodes whose ONLY edges are self-loops would vanish once self-loops
+    // are dropped — keep them (contract: cover every node in `edges`, as
+    // the driver union-find path does). Typically empty; the anti-join at
+    // the end is against this tiny set's own size.
+    val in = edges.toDF("src", "dst")
+    val selfLoopNodes = in.where($"src" === $"dst").select($"src".as("id")).distinct()
+
     // undirected, deduped, no self-loops; canonical orientation big→small
     // (an edge (u,v) with v < u means "u points toward candidate root v")
-    var e = edges.toDF("src", "dst")
+    var e = in
       .where($"src" =!= $"dst")
       .select(greatest($"src", $"dst").as("u"), least($"src", $"dst").as("v"))
       .distinct()
@@ -96,8 +103,11 @@ object ConnectedComponents {
     val nodes = e.select($"u".as("id"), $"v".as("component"))
     val roots = e.select($"v".as("id")).distinct()
       .select($"id", $"id".as("component"))
-    nodes.union(roots)
+    val covered = nodes.union(roots)
       .groupBy("id").agg(min("component").as("component"))
+    val isolated = selfLoopNodes.join(covered, Seq("id"), "left_anti")
+      .select($"id", $"id".as("component"))
+    covered.union(isolated)
   }
 
   /** Driver-side union-find with path compression + union-by-min — the
