@@ -396,7 +396,10 @@ object SparkEntry {
       val cols = (0 until Dedup.Rows).map(r => s"mh${b * Dedup.Rows + r}")
       s"SELECT doc_id, $b AS band, ${cols.mkString(" || ':' || ")} AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks0 FROM documents),
+       |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks0)),
+       |    i -> toks0[i] || ' ' || toks0[i+1])) AS toks
+       |  FROM t0 WHERE len(toks0) >= 2),
        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        |h AS (SELECT doc_id, ${hash32Sql("tk")} % $P AS h FROM tok),
        |sig AS (SELECT doc_id,

@@ -33,6 +33,9 @@ object Dedup {
       .select(col("doc_id"), col("keeper"))
   }
 
+  /** Scratch accessor for the probe tool. */
+  private[graft] def shinglesForProbe(docs: DataFrame): DataFrame = shingles(docs)
+
   /** Distinct word-bigram shingles per doc (with the blocking column). */
   private def shingles(docs: DataFrame): DataFrame =
     TextOps.withTokens(docs)
@@ -66,22 +69,34 @@ object Dedup {
   }
 
   /** MinHash parameters: K = Bands × Rows hash functions
-    * h_i(x) = (A(i)·x + B(i)) mod P over 31-bit token hashes. Fixed odd
-    * multipliers keep products < 2^51 (no ANSI overflow). */
+    * h_i(x) = (A(i)·x + B(i)) mod P over 31-bit token hashes.
+    *
+    * The multipliers must be LARGE: with small A the product almost never
+    * wraps P, every h_i is a monotone transform of h, and all K minhashes
+    * collapse to a function of the doc's single minimum token hash — docs
+    * sharing one low-hash vocabulary token then share the ENTIRE
+    * signature (measured: 52% of all pairs became LSH candidates — a
+    * quadratic blowup). Knuth-style multiplicative constants make the K
+    * permutations effectively independent. A(i) < P and h < P keep the
+    * product < 2^62 — no ANSI overflow in Spark or the DuckDB oracle. */
   val Bands = 4
   val Rows  = 3
-  def A(i: Int): Long = 2L * i + 3
-  def B(i: Int): Long = 7919L * (i + 1)
+  def A(i: Int): Long = ((2654435761L * (i + 1)) % (P - 2)) | 1L
+  def B(i: Int): Long = (2654435789L * (i + 1)) % P
 
   /** Per-doc minhash signature columns mh0..mh{K-1}: one explode of the
-    * distinct token set, K parallel `min` aggregates. */
+    * distinct SHINGLE set, K parallel `min` aggregates. Signatures hash
+    * the same word-bigram shingles the Jaccard verification uses —
+    * unigram-token signatures are stopword-dominated (unrelated docs
+    * share most of their token SET), which measured as >50% of all pairs
+    * becoming LSH candidates. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val toks = TextOps.withTokens(docs)
-      .select(col("doc_id"), explode(expr("array_distinct(toks)")).as("t"))
-      .withColumn("h", expr(s"${tokHash32("t")} % $P"))
+    val sh = shingles(docs)
+      .select(col("doc_id"), col("ng"))
+      .withColumn("h", expr(s"${tokHash32("ng")} % $P"))
     val aggs = (0 until Bands * Rows).map(i =>
       min(expr(s"(${A(i)} * h + ${B(i)}) % $P")).as(s"mh$i"))
-    toks.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /**

@@ -65,26 +65,83 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
 
   import Metrics.JobChunk
 
+  /**
+   * All three counts of one rule in ONE plan: the body bindings are
+   * computed once and the head / existential-head matches become LEFT-join
+   * markers over distinct key projections (a distinct right side never
+   * multiplies rows), so
+   *
+   *   support = countDistinct(headVars | head marker set)
+   *   body    = countDistinct(headVars)
+   *   pca     = countDistinct(headVars | pca marker set)
+   *
+   * — identical values to the three separate aggregations (the head atom
+   * only ever constrains via its shared variables), at a third of the
+   * jobs and ONE scan/shuffle of the body instead of three. Applicable
+   * whenever every head variable is bound by the body (always true for
+   * closed rules); other shapes fall back to [[agg1]].
+   */
+  private def fusedPlan(ruleId: Int, r: Rule): Option[DataFrame] = {
+    val hv = r.headVars
+    if (r.body.isEmpty || hv.isEmpty) return None
+    val bodyVars = r.body.flatMap(_.vars).map(_.name).toSet
+    if (!hv.forall(v => bodyVars(v.name))) return None
+    val fresh = freshVar(r)
+    val pcaHead =
+      if (headRelationFunctionalIsSubject(r)) r.head.copy(o = fresh)
+      else r.head.copy(s = fresh)
+    val pcaKeys = pcaHead.vars.filterNot(_ == fresh).map(_.name).distinct
+    if (pcaKeys.isEmpty || !pcaKeys.forall(bodyVars)) return None
+
+    val headKeys = hv.map(_.name)
+    val base  = QueryBuilder.bindings(triples, r.body)
+    val headD = QueryBuilder.bindings(triples, Seq(r.head))
+      .select(headKeys.map(col): _*).distinct().withColumn("__h", lit(1))
+    val pcaD  = QueryBuilder.bindings(triples, Seq(pcaHead))
+      .select(pcaKeys.map(col): _*).distinct().withColumn("__p", lit(1))
+    val joined = base.join(headD, headKeys, "left").join(pcaD, pcaKeys, "left")
+    val key = if (hv.size == 1) col(hv.head.name)
+              else struct(hv.map(v => col(v.name)): _*)
+    Some(joined
+      .agg(
+        countDistinct(when(col("__h") === 1, key)).as("support"),
+        countDistinct(key).as("body"),
+        countDistinct(when(col("__p") === 1, key)).as("pca"))
+      .select(lit(ruleId).as("rule_id"),
+        col("support"), col("body"), col("pca")))
+  }
+
   /** Score a batch of closed rules in a handful of chunked jobs. */
   def scoreAll(rules: Seq[Rule]): Seq[ScoredRule] = {
     if (rules.isEmpty) return Nil
-    val parts = rules.zipWithIndex.flatMap { case (r, i) =>
+    val plans = rules.zipWithIndex.map { case (r, i) => i -> fusedPlan(i, r) }
+
+    val counts = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    val fusedRows = plans.collect { case (_, Some(df)) => df }
+      .grouped(JobChunk).flatMap(chunk => chunk.reduce(_ union _).collect())
+    fusedRows.foreach(row =>
+      counts(row.getInt(0)) = (row.getLong(1), row.getLong(2), row.getLong(3)))
+
+    // fallback (head variable not bound by the body, e.g. bodyless or
+    // fully-instantiated heads): the original three separate aggregations
+    val slowParts = plans.collect { case (i, None) => i }.flatMap { i =>
+      val r = rules(i)
       Seq(
         agg1(i, "support", r.headVars, r.atoms),
         agg1(i, "body", r.headVars, r.body),
         agg1(i, "pca", r.headVars, pcaAtoms(r)))
     }
-    val all = parts.grouped(JobChunk).toSeq
+    slowParts.grouped(JobChunk).toSeq
       .flatMap(chunk => chunk.reduce(_ union _).collect())
-    val byRule = all.groupBy(_.getInt(0)).map { case (i, rows) =>
-      i -> rows.map(row => row.getString(1) -> row.getLong(2)).toMap
-    }
+      .groupBy(_.getInt(0)).foreach { case (i, rows) =>
+        val m = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
+        counts(i) = (m.getOrElse("support", 0L), m.getOrElse("body", 0L),
+          m.getOrElse("pca", 0L))
+      }
+
     rules.zipWithIndex.map { case (r, i) =>
-      val m       = byRule(i)
-      val support = m.getOrElse("support", 0L)
-      val body    = m.getOrElse("body", 0L)
-      val pca     = m.getOrElse("pca", 0L)
-      val hs      = headSize(r)
+      val (support, body, pca) = counts(i)
+      val hs = headSize(r)
       ScoredRule(
         rule = r,
         support = support,
