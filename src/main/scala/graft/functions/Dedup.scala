@@ -33,9 +33,6 @@ object Dedup {
       .select(col("doc_id"), col("keeper"))
   }
 
-  /** Scratch accessor for the probe tool. */
-  private[graft] def shinglesForProbe(docs: DataFrame): DataFrame = shingles(docs)
-
   /** Distinct word-bigram shingles per doc (with the blocking column). */
   private def shingles(docs: DataFrame): DataFrame =
     TextOps.withTokens(docs)

@@ -43,6 +43,41 @@ object Taxonomy {
     closure
   }
 
+  /**
+   * Relation → declared domain/range class, from `rdfs:domain` /
+   * `rdfs:range` facts in the KB — the reference's
+   * Schema.getRelationDomain/getRelationRange (Schema.java:415-458)
+   * without the sub-property fallback unless `subPropertyOf` edges are
+   * supplied (then a relation inherits its nearest ancestor's signature,
+   * Schema.java:434-458). Ambiguity resolves to the lexicographic
+   * minimum, deterministically. Returns (domains, ranges) driver maps —
+   * schema tables are vocabulary-sized.
+   */
+  def relationSignatures(
+      triples: DataFrame,
+      domainRelation: String = "rdfs:domain",
+      rangeRelation: String = "rdfs:range",
+      subPropertyRelation: String = "rdfs:subPropertyOf")
+      : (Map[String, String], Map[String, String]) = {
+    def declared(rel: String): Map[String, String] =
+      triples.where(col("pred") === rel)
+        .groupBy("subj").agg(min("obj").as("cls"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val subProps = transitiveClosure(
+      triples.where(col("pred") === subPropertyRelation)
+        .select(col("subj").as("child"), col("obj").as("parent")))
+      .collect().map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    def withFallback(m: Map[String, String]): Map[String, String] = {
+      val inherited = subProps.flatMap { case (child, ancestors) =>
+        if (m.contains(child)) None
+        else ancestors.flatMap(m.get).headOption.map(child -> _)
+      }
+      m ++ inherited
+    }
+    (withFallback(declared(domainRelation)), withFallback(declared(rangeRelation)))
+  }
+
   /** Entities typed with `cls` or any subclass of it — the
     * `transitiveType` meta-relation (Schema.java:341-350 materialized
     * variant). `types` = (entity, class) facts. */

@@ -81,19 +81,22 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
    * whenever every head variable is bound by the body (always true for
    * closed rules); other shapes fall back to [[agg1]].
    */
-  private def fusedPlan(ruleId: Int, r: Rule): Option[DataFrame] = {
-    val hv = r.headVars
+  private def fusedPlan(ruleId: Int, r: Rule, countVars: Seq[Var]): Option[DataFrame] = {
+    val hv = countVars
     if (r.body.isEmpty || hv.isEmpty) return None
     val bodyVars = r.body.flatMap(_.vars).map(_.name).toSet
-    if (!hv.forall(v => bodyVars(v.name))) return None
+    // the head marker joins on ALL head variables (the head atom
+    // constrains every one of them); countVars only selects what is
+    // counted distinct (all head vars for the default bias, the
+    // functional one for oneVar)
+    val headKeys = r.headVars.map(_.name)
+    if (headKeys.isEmpty || !(headKeys ++ hv.map(_.name)).forall(bodyVars)) return None
     val fresh = freshVar(r)
     val pcaHead =
       if (headRelationFunctionalIsSubject(r)) r.head.copy(o = fresh)
       else r.head.copy(s = fresh)
     val pcaKeys = pcaHead.vars.filterNot(_ == fresh).map(_.name).distinct
     if (pcaKeys.isEmpty || !pcaKeys.forall(bodyVars)) return None
-
-    val headKeys = hv.map(_.name)
     val base  = QueryBuilder.bindings(triples, r.body)
     val headD = QueryBuilder.bindings(triples, Seq(r.head))
       .select(headKeys.map(col): _*).distinct().withColumn("__h", lit(1))
@@ -111,31 +114,85 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         col("support"), col("body"), col("pca")))
   }
 
+  /** Bounded distinct count as a 1-row plan: `limit(bound)` over the
+    * distinct projection stops the scan early (the Spark shape of the
+    * reference's countDistinctPairsUpTo, KB.java:3111-3160). bound ≤ 0 ⇒
+    * exact full count. */
+  private def boundedCount(
+      ruleId: Int, kind: String, vs: Seq[Var], atoms: Seq[Atom], bound: Long): DataFrame = {
+    val d   = QueryBuilder.selectDistinct(triples, vs, atoms)
+    val lim = if (bound > 0 && bound < Int.MaxValue) d.limit(bound.toInt) else d
+    lim.agg(count(lit(1)).as("n"))
+      .select(lit(ruleId).as("rule_id"), lit(kind).as("kind"), col("n"))
+  }
+
   /** Score a batch of closed rules in a handful of chunked jobs. */
-  def scoreAll(rules: Seq[Rule]): Seq[ScoredRule] = {
+  def scoreAll(rules: Seq[Rule]): Seq[ScoredRule] =
+    scoreAll(rules, _.headVars, None)
+
+  /**
+   * Bias-aware batch scoring.
+   *
+   * @param countVarsOf support/denominator counting variables per rule
+   *                    (the bias's choice — [[MiningBias.countVars]])
+   * @param lazyCfg     early-stop denominators (`lazy` bias,
+   *                    LazyMiningAssistant.java:40-88): (known support by
+   *                    rule index, minStdConfidence, minPcaConfidence).
+   *                    Denominator counts are bounded at
+   *                    `ceil(support/minConf)+1`; a truncated count can
+   *                    only land the confidence below its threshold, so
+   *                    emitted rules keep exact metrics.
+   */
+  def scoreAll(
+      rules: Seq[Rule],
+      countVarsOf: Rule => Seq[Var],
+      lazyCfg: Option[(Int => Option[Long], Double, Double)]): Seq[ScoredRule] = {
     if (rules.isEmpty) return Nil
-    val plans = rules.zipWithIndex.map { case (r, i) => i -> fusedPlan(i, r) }
 
-    val counts = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
-    val fusedRows = plans.collect { case (_, Some(df)) => df }
-      .grouped(JobChunk).flatMap(chunk => chunk.reduce(_ union _).collect())
-    fusedRows.foreach(row =>
-      counts(row.getInt(0)) = (row.getLong(1), row.getLong(2), row.getLong(3)))
+    val counts       = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
+    val knownSupport = scala.collection.mutable.Map[Int, Long]()
+    val fusedPlans   = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val parts        = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
-    // fallback (head variable not bound by the body, e.g. bodyless or
-    // fully-instantiated heads): the original three separate aggregations
-    val slowParts = plans.collect { case (i, None) => i }.flatMap { i =>
-      val r = rules(i)
-      Seq(
-        agg1(i, "support", r.headVars, r.atoms),
-        agg1(i, "body", r.headVars, r.body),
-        agg1(i, "pca", r.headVars, pcaAtoms(r)))
+    rules.zipWithIndex.foreach { case (r, i) =>
+      val kv = countVarsOf(r)
+      val lazySupport = lazyCfg.collect {
+        case (sup, minStd, minPca) if (minStd > 0 || minPca > 0) && r.body.nonEmpty =>
+          sup(i)
+      }.flatten
+      lazySupport match {
+        case Some(s) =>
+          val (_, minStd, minPca) = lazyCfg.get
+          knownSupport(i) = s
+          def bnd(minConf: Double) =
+            if (minConf > 0) math.ceil(s / minConf).toLong + 1 else 0L
+          parts += boundedCount(i, "body", kv, r.body, bnd(minStd))
+          parts += boundedCount(i, "pca", kv, pcaAtoms(r), bnd(minPca))
+        case None =>
+          fusedPlan(i, r, kv) match {
+            case Some(df) => fusedPlans += df
+            case None =>
+              // fallback (head variable not bound by the body, e.g.
+              // bodyless or fully-instantiated heads): three separate aggs
+              parts += agg1(i, "support", kv, r.atoms)
+              parts += agg1(i, "body", kv, r.body)
+              parts += agg1(i, "pca", kv, pcaAtoms(r))
+          }
+      }
     }
-    slowParts.grouped(JobChunk).toSeq
+
+    fusedPlans.grouped(JobChunk)
+      .flatMap(chunk => chunk.reduce(_ union _).collect())
+      .foreach(row =>
+        counts(row.getInt(0)) = (row.getLong(1), row.getLong(2), row.getLong(3)))
+
+    parts.grouped(JobChunk).toSeq
       .flatMap(chunk => chunk.reduce(_ union _).collect())
       .groupBy(_.getInt(0)).foreach { case (i, rows) =>
         val m = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
-        counts(i) = (m.getOrElse("support", 0L), m.getOrElse("body", 0L),
+        counts(i) = (
+          knownSupport.getOrElse(i, m.getOrElse("support", 0L)),
+          m.getOrElse("body", 0L),
           m.getOrElse("pca", 0L))
       }
 
@@ -153,7 +210,14 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         functionalVariable = {
           val t = if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o
           t match { case Var(n) => s"?$n"; case Const(c) => c } // head may be instantiated
-        })
+        },
+        supportRatio =
+          if (stats.totalFacts == 0) 0.0 else support.toDouble / stats.totalFacts,
+        // stdConfUpperBound is a pure stats lookup (zero jobs) — populate
+        // whenever the hard shape applies; the costlier pcaConfUpperBound /
+        // pcaConfEstimation are filled in by the miner when its pruning
+        // passes computed them.
+        stdConfUpperBound = stdConfidenceUpperBound(r, support).getOrElse(0.0))
     }
   }
 

@@ -28,7 +28,11 @@ final case class MinerConfig(
     enableFunctionalityHeuristic: Boolean = false,
     /** max occurrences of one relation in a rule (recursivity guard,
       * DefaultMiningAssistant.java:212-214). */
-    maxRelationOccurrence: Int = 2)
+    maxRelationOccurrence: Int = 2,
+    /** counting/denominator strategy — the assistant-variant surface
+      * (MiningAssistantFactory.java:33-90): default, oneVar, lazy,
+      * signatured. */
+    bias: MiningBias = MiningBias.Default)
 
 /**
  * Level-synchronous BFS rule miner — the Spark re-architecture of the
@@ -71,9 +75,15 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     math.max(config.minSupport,
       math.ceil(config.minHeadCoverage * stats.size(rel)).toLong)
 
-  /** Seed rules `⇒ r(x,y)` for every relation large enough (DMA:81-88). */
+  private val bias = config.bias
+  private def countVarsOf(r: Rule): Seq[Var] = bias.countVars(metrics, r)
+
+  /** Seed rules `⇒ r(x,y)` for every relation large enough (DMA:81-88);
+    * bias-excluded relations (e.g. the schema relations under the
+    * signatured bias) never seed. */
   private def seeds: Seq[Node] =
     stats.preds
+      .filterNot(bias.excludedRelations)
       .filter(p => stats.size(p) >= supportThreshold(p))
       .map(p => Node(Rule(Atom(Var("x"), Const(p), Var("y")), Nil), -1.0))
 
@@ -85,31 +95,64 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     seeds.foreach(n => seen += n.rule.canonical)
 
     while (level.nonEmpty) {
-      // ---- Phase A: score closed rules of this generation (one job) ----
-      // optional type-I upper-bound pre-prune: a cheap bound below the
-      // threshold means the exact metrics cannot pass either
-      val closed = level.filter(_.rule.isClosed).filterNot { n =>
-        n.supportHint >= 0 && (
-          (config.enableConfidenceBounds && {
-            val stdUB = metrics.stdConfidenceUpperBound(n.rule, n.supportHint)
-            val pcaUB = metrics.pcaConfidenceUpperBound(n.rule, n.supportHint)
-            (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
-            (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence))
-          }) ||
-          (config.enableFunctionalityHeuristic && config.minPcaConfidence > 0 && {
-            val est =
+      // ---- Phase A: score closed rules of this generation ----
+      // optional type-I upper-bound / functionality-heuristic pre-prune: a
+      // cheap bound below the threshold means the exact metrics cannot
+      // pass either. Computed values are kept for the output columns.
+      val closedNodes = level.filter(_.rule.isClosed)
+      val evals: Seq[(Node, Option[Double], Option[Double], Option[Double])] =
+        closedNodes.map { n =>
+          // no hint, or the bias rescored with extra type atoms (a bound on
+          // the UNconstrained rule does not bound the constrained one)
+          if (n.supportHint < 0 || bias.typeConstraints(n.rule).nonEmpty)
+            (n, None, None, None)
+          else {
+            val stdUB = if (config.enableConfidenceBounds)
+              metrics.stdConfidenceUpperBound(n.rule, n.supportHint) else None
+            val pcaUB = if (config.enableConfidenceBounds)
+              metrics.pcaConfidenceUpperBound(n.rule, n.supportHint) else None
+            val est = if (config.enableFunctionalityHeuristic && config.minPcaConfidence > 0) {
               if (n.rule.length == 3) metrics.pcaApproximation3(n.rule, n.supportHint)
               else if (n.rule.length > 3) metrics.pcaApproximationPath(n.rule, n.supportHint)
               else None
-            est.exists(_ < config.minPcaConfidence)
-          }))
+            } else None
+            (n, stdUB, pcaUB, est)
+          }
+        }
+      val kept = evals.filterNot { case (_, stdUB, pcaUB, est) =>
+        (config.minStdConfidence > 0 && stdUB.exists(_ < config.minStdConfidence)) ||
+        (config.minPcaConfidence > 0 && pcaUB.exists(_ < config.minPcaConfidence)) ||
+        (config.minPcaConfidence > 0 && est.exists(_ < config.minPcaConfidence))
       }
+
+      // the signatured bias appends the head relation's domain/range type
+      // atoms before scoring AND in the emitted rule
+      // (RelationSignatureDefaultMiningAssistant.java:49-86); its hints no
+      // longer apply (the constraint changes support)
+      val scoreRules = kept.map { case (n, _, _, _) =>
+        val extra = bias.typeConstraints(n.rule)
+        if (extra.isEmpty) n.rule else n.rule.copy(body = n.rule.body ++ extra)
+      }
+      val hints: Map[Int, Long] = kept.zipWithIndex.collect {
+        case (((n, _, _, _)), i)
+            if n.supportHint >= 0 && bias.typeConstraints(n.rule).isEmpty =>
+          i -> n.supportHint
+      }.toMap
+      val lazyCfg =
+        if (bias.lazyDenominators) {
+          val lookup: Int => Option[Long] = i => hints.get(i)
+          Some((lookup, config.minStdConfidence, config.minPcaConfidence))
+        } else None
+      val scoredSeq = metrics.scoreAll(scoreRules, countVarsOf, lazyCfg)
       val scored: Map[String, ScoredRule] =
-        metrics.scoreAll(closed.map(_.rule))
-          .map(s => s.rule.canonical -> s).toMap
+        kept.zip(scoredSeq).map { case ((n, _, pcaUB, est), s) =>
+          n.rule.canonical -> s.copy(
+            pcaConfUpperBound = pcaUB.getOrElse(s.pcaConfUpperBound),
+            pcaConfEstimation = est.getOrElse(s.pcaConfEstimation))
+        }.toMap
 
       val outputConf = scala.collection.mutable.Map[String, Double]()
-      for (n <- closed) {
+      for ((n, _, _, _) <- kept) {
         val s = scored(n.rule.canonical)
         val pass = s.support >= supportThreshold(headRel(n.rule)) &&
           s.headCoverage >= config.minHeadCoverage &&
@@ -171,7 +214,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
       val r  = nodes(idx).rule
       val df = QueryBuilder.bindings(kb, r.atoms :+ tpl)
-      val hv = r.headVars
+      val hv = countVarsOf(r) // bias-chosen support variables
       val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                else countDistinct(struct(hv.map(v => col(v.name)): _*))
       df.groupBy(col(candCol)).agg(cd.as("supp"))
@@ -180,21 +223,66 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     val counted = parts.grouped(Metrics.JobChunk).toSeq
       .flatMap(chunk => chunk.reduce(_ union _).collect())
 
-    val children = scala.collection.mutable.ArrayBuffer[Node]()
+    val children  = scala.collection.mutable.ArrayBuffer[Node]()
+    val reguarded = scala.collection.mutable.ArrayBuffer[(Rule, Double)]() // needs support re-measure
     for (row <- counted) {
-      val (idx, tpl, _) = templates(row.getInt(0))
+      val (idx, tpl, isDangling) = templates(row.getInt(0))
       val rel           = row.getString(1)
       val supp          = row.getLong(2)
       val parent        = nodes(idx)
       val newAtom       = tpl.copy(p = Const(rel))
       val child         = Rule(parent.rule.head, parent.rule.body :+ newAtom)
       val ok = supp >= supportThreshold(headRel(parent.rule)) &&
+        !bias.excludedRelations.contains(rel) &&
         !parent.rule.atoms.contains(newAtom) &&
         child.relationOccurrences(rel) <= config.maxRelationOccurrence
       if (ok) {
         val floor = math.max(parent.ancestorConf,
           outputConf.getOrElse(parent.rule.canonical, -1.0))
-        children += Node(child, floor, supp)
+        // differentFrom guard on instantiated recursion (DMA:370-397):
+        // with constants enabled, a dangling atom unifiable with an
+        // existing atom that carries a CONSTANT at the dangling position
+        // gets `differentFrom(fresh, constant)` pseudo-atoms — otherwise
+        // later instantiation of `fresh` could recreate that atom and emit
+        // a trivially-satisfied recursive constant rule. The guard changes
+        // the child's support, so it is re-measured (batched below).
+        val guards =
+          if (!config.enableConstants || !isDangling) Nil
+          else {
+            val parentVars = parent.rule.allVars.toSet
+            val freshV = tpl.vars.find(v => !parentVars.contains(v) && v.name != candCol)
+            freshV.toList.flatMap { fv =>
+              val danglingIsSubj = tpl.s == fv
+              parent.rule.atoms
+                .filter(a => !a.isPseudo && Rule.unifiable(a, newAtom))
+                .flatMap { a =>
+                  (if (danglingIsSubj) a.s else a.o) match {
+                    case c: Const => Some(Atom(fv, Const(Atom.DifferentFrom), c))
+                    case _        => None
+                  }
+                }.distinct
+            }
+          }
+        if (guards.isEmpty) children += Node(child, floor, supp)
+        else reguarded += ((Rule(child.head, child.body ++ guards), floor))
+      }
+    }
+    // re-measure guarded children in chunked jobs (the guard only shrinks
+    // support, so the threshold must be re-checked — DMA:381-393)
+    if (reguarded.nonEmpty) {
+      val parts = reguarded.zipWithIndex.map { case ((r, _), i) =>
+        val hv = countVarsOf(r)
+        val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
+                 else countDistinct(struct(hv.map(v => col(v.name)): _*))
+        QueryBuilder.bindings(kb, r.atoms).agg(cd.as("supp"))
+          .select(lit(i).as("id"), col("supp"))
+      }
+      val supps = parts.grouped(Metrics.JobChunk).toSeq
+        .flatMap(chunk => chunk.reduce(_ union _).collect())
+        .map(row => row.getInt(0) -> row.getLong(1)).toMap
+      reguarded.zipWithIndex.foreach { case ((r, floor), i) =>
+        val supp = supps.getOrElse(i, 0L)
+        if (supp >= supportThreshold(headRel(r))) children += Node(r, floor, supp)
       }
     }
     if (config.enableConstants) children ++= instantiateLevel(nodes, outputConf)
@@ -243,9 +331,15 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         def sub(t: Term): Term = if (t == v) Const(c) else t
         def subAtom(a: Atom)   = Atom(sub(a.s), sub(a.p), sub(a.o))
         val child = Rule(subAtom(parent.rule.head), parent.rule.body.map(subAtom))
-        val floor = math.max(parent.ancestorConf,
-          outputConf.getOrElse(parent.rule.canonical, -1.0))
-        out += Node(child, floor, supp)
+        // redundancy guard (Rule.getRedundantAtoms, Rule.java:619-763): a
+        // substitution collapsing two atoms into duplicates makes the rule
+        // trivially equivalent to its shorter form — never emit it
+        val real = child.atoms.filterNot(_.isPseudo)
+        if (real.distinct.size == real.size) {
+          val floor = math.max(parent.ancestorConf,
+            outputConf.getOrElse(parent.rule.canonical, -1.0))
+          out += Node(child, floor, supp)
+        }
       }
     }
     out.toSeq

@@ -106,6 +106,62 @@ final case class Rule(head: Atom, body: List[Atom]) {
   }
 }
 
+object Rule {
+
+  /** TRUE iff two atoms unify positionally: a variable unifies with
+    * anything, constants must match (Rule.isUnifiable,
+    * rules/.../Rule.java:686-718, both directions folded in). */
+  def unifiable(a: Atom, b: Atom): Boolean = {
+    def u(x: Term, y: Term): Boolean = (x, y) match {
+      case (_: Var, _) | (_, _: Var) => true
+      case (Const(c1), Const(c2))    => c1 == c2
+    }
+    u(a.s, b.s) && u(a.p, b.p) && u(a.o, b.o)
+  }
+
+  /**
+   * Rule equivalence by backtracking unification — the reference's
+   * QueryEquivalenceChecker.areEquivalent (QueryEquivalenceChecker.java:
+   * 20-74): an injective variable mapping and an atom bijection taking
+   * head to head. Equivalent in power to [[Rule.canonical]] equality but
+   * with early pruning instead of enumerating body permutations — prefer
+   * it for pairwise checks of long-bodied rules.
+   */
+  def equivalent(r1: Rule, r2: Rule): Boolean = {
+    if (r1.length != r2.length) return false
+
+    // substitution state: var-of-r1 → var-of-r2, injective
+    def unify(a1: Atom, a2: Atom, m: Map[String, String], used: Set[String])
+        : Option[(Map[String, String], Set[String])] = {
+      def step(t1: Term, t2: Term, st: (Map[String, String], Set[String]))
+          : Option[(Map[String, String], Set[String])] = (t1, t2) match {
+        case (Var(v1), Var(v2)) =>
+          val (mm, uu) = st
+          mm.get(v1) match {
+            case Some(x) => if (x == v2) Some(st) else None
+            case None    => if (uu(v2)) None else Some((mm + (v1 -> v2), uu + v2))
+          }
+        case (Const(c1), Const(c2)) if c1 == c2 => Some(st)
+        case _                                  => None
+      }
+      step(a1.s, a2.s, (m, used))
+        .flatMap(step(a1.p, a2.p, _))
+        .flatMap(step(a1.o, a2.o, _))
+    }
+
+    def bodies(i: Int, remaining2: List[Atom], m: Map[String, String], used: Set[String]): Boolean =
+      if (i >= r1.body.size) true
+      else remaining2.exists { a2 =>
+        unify(r1.body(i), a2, m, used).exists { case (mm, uu) =>
+          bodies(i + 1, remaining2.filterNot(_ eq a2), mm, uu)
+        }
+      }
+
+    unify(r1.head, r2.head, Map.empty, Set.empty)
+      .exists { case (m, u) => bodies(0, r2.body, m, u) }
+  }
+}
+
 /** A rule with its quality metrics — the output row of the miner
   * (column contract: FIXTURES.md §4 / rules/.../RuleFormatter.java:19-27). */
 final case class ScoredRule(
@@ -116,4 +172,13 @@ final case class ScoredRule(
     pcaConfidence: Double,
     bodySize: Long,
     pcaBodySize: Long,
-    functionalVariable: String)
+    functionalVariable: String,
+    /** support / kb.size() (Rule.java:58-60, set at DMA:231). */
+    supportRatio: Double = 0.0,
+    /** Type-I-shape confidence bounds + functionality-heuristic PCA
+      * estimate (OutputColumn.java:5-8). 0.0 when not computed — the
+      * reference's field defaults (Rule.java:241-242); they are only
+      * populated when the corresponding pruning pass ran. */
+    stdConfUpperBound: Double = 0.0,
+    pcaConfUpperBound: Double = 0.0,
+    pcaConfEstimation: Double = 0.0)

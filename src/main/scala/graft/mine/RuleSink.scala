@@ -3,12 +3,13 @@ package graft.mine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
- * Rule output sink in the reference formatter's column order
- * (rules/src/main/java/amie/rules/format/RuleFormatter.java:19-95,
- * OutputColumn.java:5-8; FIXTURES.md §4):
+ * Rule output sink in the reference's full OutputColumn order
+ * (rules/src/main/java/amie/rules/format/OutputColumn.java:5-8,
+ * RuleFormatter.java:19-95; FIXTURES.md §4):
  *
- *   Rule  HeadCoverage  StdConfidence  PcaConfidence  Support  BodySize
- *   PcaBodySize  FunctionalVariable
+ *   Rule  HeadCoverage  StdConfidence  PcaConfidence  Support
+ *   SupportRatio  BodySize  PcaBodySize  FunctionalVariable
+ *   StdConfUpperBound  PcaConfUpperBound  PcaConfEstimation
  *
  * Rule strings use the reference's deterministic atom ordering
  * (Rule.sortBody semantics, already baked into Rule.amieString), and the
@@ -18,13 +19,16 @@ object RuleSink {
 
   val Columns: Seq[String] = Seq(
     "Rule", "HeadCoverage", "StdConfidence", "PcaConfidence",
-    "Support", "BodySize", "PcaBodySize", "FunctionalVariable")
+    "Support", "SupportRatio", "BodySize", "PcaBodySize", "FunctionalVariable",
+    "StdConfUpperBound", "PcaConfUpperBound", "PcaConfEstimation")
 
   def toDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {
     import spark.implicits._
     rules
       .map(s => (s.rule.amieString, s.headCoverage, s.stdConfidence,
-        s.pcaConfidence, s.support, s.bodySize, s.pcaBodySize, s.functionalVariable))
+        s.pcaConfidence, s.support, s.supportRatio, s.bodySize, s.pcaBodySize,
+        s.functionalVariable, s.stdConfUpperBound, s.pcaConfUpperBound,
+        s.pcaConfEstimation))
       .toDF(Columns: _*)
       .orderBy("Rule")
   }
@@ -44,7 +48,9 @@ object RuleSink {
     import spark.implicits._
     rules
       .map(s => (s.rule.datalogString, s.headCoverage, s.stdConfidence,
-        s.pcaConfidence, s.support, s.bodySize, s.pcaBodySize, s.functionalVariable))
+        s.pcaConfidence, s.support, s.supportRatio, s.bodySize, s.pcaBodySize,
+        s.functionalVariable, s.stdConfUpperBound, s.pcaConfUpperBound,
+        s.pcaConfEstimation))
       .toDF(Columns: _*)
       .orderBy("Rule")
   }

@@ -71,6 +71,64 @@ class MinerSpec extends AnyFunSuite {
     assert(inst.get.pcaConfidence == 1.0)
   }
 
+  test("O_I recursion guard: differentFrom pseudo-atom suppresses duplicate constants") {
+    import spark.implicits._
+    // two people hold BOTH jobs C1 and C2; the rule
+    //   senior(x,T) <= emp(x,C1) ∧ emp(x,z), z ≠ C1   (then z → C2)
+    // is only reachable if the dangling emp(x,z) next to the instantiated
+    // emp(x,C1) carries the differentFrom guard (DMA:370-397) — without
+    // it, z → C1 would emit a trivially-redundant duplicate-atom rule.
+    val kb = Seq(
+      Triple("a", "emp", "C1"), Triple("a", "emp", "C2"),
+      Triple("b", "emp", "C1"), Triple("b", "emp", "C2"),
+      Triple("c", "emp", "C1"),
+      Triple("a", "senior", "T"), Triple("b", "senior", "T")).toDF()
+    val rules = new Miner(kb, MinerConfig(
+      minSupport = 2, minHeadCoverage = 0.1, minPcaConfidence = 0.1,
+      maxDepth = 4, enableConstants = true)).mine()
+    // no emitted rule repeats an identical atom
+    rules.foreach { s =>
+      val real = s.rule.atoms.filterNot(_.isPseudo)
+      assert(real.distinct.size == real.size, s.rule.toString)
+    }
+    val guarded = rules.find { s =>
+      s.rule.head == Atom(Var("x"), Const("senior"), Const("T")) &&
+      s.rule.body.filterNot(_.isPseudo).toSet ==
+        Set(Atom(Var("x"), Const("emp"), Const("C1")),
+          Atom(Var("x"), Const("emp"), Const("C2")))
+    }
+    assert(guarded.isDefined, rules.map(_.rule.amieString).mkString("\n"))
+    assert(guarded.get.support == 2)
+    assert(guarded.get.stdConfidence == 1.0)
+    assert(guarded.get.pcaConfidence == 1.0)
+  }
+
+  test("backtracking equivalence matches canonical-form equality") {
+    val a = Rule(
+      Atom(Var("x"), Const("livesIn"), Var("c")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")), Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    val b = Rule(
+      Atom(Var("p"), Const("livesIn"), Var("q")),
+      List(Atom(Var("r"), Const("isLocatedIn"), Var("q")), Atom(Var("p"), Const("worksAt"), Var("r"))))
+    val c = Rule(
+      Atom(Var("p"), Const("livesIn"), Var("q")),
+      List(Atom(Var("q"), Const("isLocatedIn"), Var("r")), Atom(Var("p"), Const("worksAt"), Var("r"))))
+    assert(Rule.equivalent(a, b))
+    assert(!Rule.equivalent(a, c))
+    // constants must match exactly; variable mapping is injective
+    val d = Rule(Atom(Var("x"), Const("livesIn"), Const("Paris")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t"))))
+    val e = Rule(Atom(Var("y"), Const("livesIn"), Const("Paris")),
+      List(Atom(Var("y"), Const("worksAt"), Var("u"))))
+    val f = Rule(Atom(Var("y"), Const("livesIn"), Const("Lyon")),
+      List(Atom(Var("y"), Const("worksAt"), Var("u"))))
+    assert(Rule.equivalent(d, e))
+    assert(!Rule.equivalent(d, f))
+    val g = Rule(Atom(Var("x"), Const("h"), Var("x")), Nil) // repeated var
+    val h = Rule(Atom(Var("x"), Const("h"), Var("y")), Nil)
+    assert(!Rule.equivalent(g, h))
+  }
+
   test("O_I on extended KB: PCA 0.75 for the Telecom/Paris rule") {
     val rules = new Miner(Fixtures.extendedKB(spark),
       cfg.copy(enableConstants = true)).mine()

@@ -59,12 +59,18 @@ class MiscOpsSpec extends AnyFunSuite {
     val r = Rule(Atom(Var("x"), Const("livesIn"), Var("y")),
       List(Atom(Var("x"), Const("worksAt"), Var("t")),
         Atom(Var("t"), Const("isLocatedIn"), Var("y"))))
-    val scored = ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?x")
+    val scored = ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?x",
+      supportRatio = 0.25, stdConfUpperBound = 1.0)
     val df = RuleSink.toDF(spark, Seq(scored))
+    // the full 12-column reference contract (OutputColumn.java:5-8)
     assert(df.columns.toSeq == RuleSink.Columns)
+    assert(df.columns.length == 12)
     val row = df.collect()(0)
     assert(row.getString(0).endsWith("=> ?x  livesIn  ?y"))
     assert(row.getLong(4) == 3)
+    assert(row.getDouble(5) == 0.25)  // SupportRatio
+    assert(row.getDouble(9) == 1.0)   // StdConfUpperBound
+    assert(row.getDouble(11) == 0.0)  // PcaConfEstimation default
   }
 
   test("cardinality pseudo-relation: keys by distinct-value count") {
@@ -107,6 +113,12 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(r.anyBurlString == "livesIn(X,Y) <= worksAt(X,A), isLocatedIn(A,Y)")
     val burl = RuleSink.toAnyBurlDF(spark, Seq(ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?a")))
     assert(burl.columns.toSeq == Seq("PcaBodySize", "Support", "PcaConfidence", "Rule"))
+
+    // prefix-named variables must rename as whole tokens (?z1 vs ?z10)
+    val tricky = Rule(Atom(Var("z1"), Const("h"), Var("z10")),
+      List(Atom(Var("z1"), Const("p"), Var("z11")),
+        Atom(Var("z11"), Const("q"), Var("z10"))))
+    assert(tricky.anyBurlString == "h(X,Y) <= p(X,A), q(A,Y)")
   }
 
   test("dictionary: dense sorted ids, encode/decode round-trip") {
