@@ -337,8 +337,11 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(t(s, dir, "documents"), minJaccard = 0.3)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
+    // maxHamming = 3 < SimBands keeps the banded candidate join EXACT
+    // (recall 1.0), so the all-pairs DuckDB oracle independently verifies
+    // the bucketed implementation
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 8)),
+      Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), minCosine = 0.3)),
     "sim_bruteforce_topk" -> ((s, dir) =>
@@ -532,17 +535,19 @@ object SparkEntry {
          |JOIN d ds ON ds.term = subj
          |JOIN d dp ON dp.term = pred
          |JOIN d do_ ON do_.term = obj""".stripMargin,
+    // all-pairs oracle — equals the banded Spark join exactly because
+    // maxHamming 3 < 4 bands (pigeonhole)
     "dedup_simhash" ->
-      s"""WITH $simhashCte,
-         |shs AS (SELECT sh.doc_id, simhash, source FROM sh JOIN documents USING (doc_id))
+      s"""WITH $simhashCte
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
-         |FROM shs a JOIN shs b ON a.source = b.source AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_embedding" ->
-      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin,
+      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
+         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b, ${cosSql("a.embedding", "bb.embedding")} AS cos
+         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+         |WHERE ${cosSql("a.embedding", "bb.embedding")} >= 0.3""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |p AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qe", "e.embedding")} AS score

@@ -81,14 +81,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicates: same-`label` pairs (blocking) with
-    * cosine ≥ minCosine, id_a < id_b. */
-  def embeddingNearDups(emb: DataFrame, minCosine: Double): DataFrame =
-    emb.select(col("vec_id").as("id_a"), col("embedding").as("qe"), col("label"))
-      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("ne"), col("label")),
-        Seq("label"))
+  /** Embedding-cosine near-duplicates: pairs in the same random-hyperplane
+    * sign bucket with cosine ≥ minCosine, id_a < id_b. The bucket join
+    * replaces the earlier label-block pair join (quadratic within a block
+    * whose size grows with the data): cost ∝ Σ bucket², recall tuned by
+    * `planes` — the same scale path as [[lshTopK]]. */
+  def embeddingNearDups(emb: DataFrame, minCosine: Double, planes: Int = 8): DataFrame = {
+    val b = lshBucket(emb, planes)
+    b.select(col("vec_id").as("id_a"), col("embedding").as("qe"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("ne"), col("bucket")),
+        Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", cosineExpr("qe", "ne"))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
+  }
 }

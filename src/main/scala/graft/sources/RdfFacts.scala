@@ -1,0 +1,240 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * RDF sources — the Spark re-expression of the reference's Turtle/N3
+ * loading path (KB.java:228-247 hands files to an RDF4J parser whose
+ * statements land in StoreStatementToKB.java:10-69).
+ *
+ * Two entry points with different scale envelopes:
+ *
+ *  - [[loadNTriples]]: N-Triples is line-delimited, so `spark.read.text`
+ *    + three codegen'd regexp extractions parse it fully distributed —
+ *    this is the 100-TB path (RDF dumps ship as N-Triples for exactly
+ *    this reason).
+ *  - [[loadTurtle]]: Turtle statements span lines (`;`/`,` continuation),
+ *    so each FILE is parsed as a unit (`wholetext`) by a small
+ *    tokenizer — parallel across files, single-pass per file. Fine for
+ *    the many-file layout real dumps use; convert to N-Triples for
+ *    single-file behemoths.
+ *
+ * Both emit full IRIs (brackets stripped, RDF4J `String.valueOf` shape);
+ * [[compactIris]] reproduces the reference's namespace compaction
+ * (StoreStatementToKB.getFormattedValue) with DETERMINISTIC prefix ids
+ * (sorted-namespace rank, not encounter order — encounter order does not
+ * exist in a distributed load).
+ */
+object RdfFacts {
+
+  // ---- N-Triples ----------------------------------------------------
+
+  private val NtLine =
+    """^\s*(<[^>]*>|_:\S+)\s+(<[^>]*>)\s+(<[^>]*>|_:\S+|".*"(?:@[A-Za-z0-9-]+|\^\^<[^>]*>)?)\s*\.\s*$"""
+
+  /** Parse N-Triples: one statement per line, comments/blank lines
+    * skipped, IRI brackets stripped, literals kept in their
+    * `"lex"[@lang|^^<type>]` form. */
+  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+    def unbracket(c: Column): Column =
+      when(c.startsWith("<"), substring(c, lit(2), length(c) - 2)).otherwise(c)
+    val raw = spark.read.text(path)
+      .where(!col("value").rlike("^\\s*(#.*)?$"))
+    val parsed = raw.select(
+      regexp_extract(col("value"), NtLine, 1).as("s"),
+      regexp_extract(col("value"), NtLine, 2).as("p"),
+      regexp_extract(col("value"), NtLine, 3).as("o"))
+      .where(col("s") =!= "" && col("p") =!= "" && col("o") =!= "")
+    parsed.select(
+      unbracket(col("s")).as("subj"),
+      unbracket(col("p")).as("pred"),
+      unbracket(col("o")).as("obj"))
+  }
+
+  // ---- Turtle subset ------------------------------------------------
+
+  /** Load Turtle files: `@prefix`/`PREFIX` declarations, `a` keyword,
+    * `;` and `,` continuations, comments, quoted literals with escapes,
+    * `@lang` / `^^` suffixes. One parse per file, parallel across files. */
+  def loadTurtle(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .as[String]
+      .flatMap(parseTurtle)
+      .toDF("subj", "pred", "obj")
+  }
+
+  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+  /** Tokenize + parse one Turtle document. Package-visible for the spec. */
+  private[sources] def parseTurtle(content: String): Seq[(String, String, String)] = {
+    val toks = tokenize(content)
+    val prefixes = scala.collection.mutable.Map[String, String]()
+    val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+
+    def resolve(t: Token): String = t match {
+      case Iri(v)       => v
+      case BNode(v)     => v
+      case Keyword("a") => RdfType
+      case Prefixed(pfx, local) =>
+        prefixes.get(pfx) match {
+          case Some(ns) => ns + local
+          case None     => throw new IllegalArgumentException(s"undeclared prefix '$pfx:'")
+        }
+      case Lit(v)     => v
+      case Punct(c)   => throw new IllegalArgumentException(s"unexpected '$c'")
+      case Keyword(k) => throw new IllegalArgumentException(s"unexpected '$k'")
+    }
+
+    var i = 0
+    while (i < toks.length) {
+      toks(i) match {
+        case Keyword("@prefix") | Keyword("PREFIX") =>
+          (toks(i + 1), toks(i + 2)) match {
+            case (Prefixed(pfx, ""), Iri(ns)) => prefixes(pfx) = ns
+            case other => throw new IllegalArgumentException(s"bad @prefix: $other")
+          }
+          i += 3
+          if (i < toks.length && toks(i) == Punct('.')) i += 1
+        case Keyword("@base") | Keyword("BASE") =>
+          i += 2 // subset: base IRIs accepted but not applied
+          if (i < toks.length && toks(i) == Punct('.')) i += 1
+        case _ =>
+          // statement: subj pred obj (',' obj)* (';' pred obj (',' obj)*)* '.'
+          val subj = resolve(toks(i)); i += 1
+          var done = false
+          while (!done) {
+            val pred = resolve(toks(i)); i += 1
+            var more = true
+            while (more) {
+              out += ((subj, pred, resolve(toks(i)))); i += 1
+              toks(i) match {
+                case Punct(',') => i += 1
+                case Punct(';') => more = false; i += 1
+                  // allow trailing ';' before '.'
+                  if (toks(i) == Punct('.')) { done = true; i += 1 }
+                case Punct('.') => more = false; done = true; i += 1
+                case other => throw new IllegalArgumentException(s"expected , ; or . got $other")
+              }
+            }
+          }
+      }
+    }
+    out.toSeq
+  }
+
+  private sealed trait Token
+  private case class Iri(v: String)                    extends Token
+  private case class Prefixed(pfx: String, l: String)  extends Token
+  private case class Lit(v: String)                    extends Token
+  private case class BNode(v: String)                  extends Token
+  private case class Keyword(v: String)                extends Token
+  private case class Punct(c: Char)                    extends Token
+
+  private def tokenize(s: String): IndexedSeq[Token] = {
+    val out = scala.collection.mutable.ArrayBuffer[Token]()
+    var i = 0
+    def isBoundary(c: Char) = c.isWhitespace || c == ';' || c == ',' || c == ')' || c == ']'
+    while (i < s.length) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case '#' => while (i < s.length && s(i) != '\n') i += 1
+        case '<' =>
+          val j = s.indexOf('>', i)
+          require(j > 0, "unterminated IRI")
+          out += Iri(s.substring(i + 1, j)); i = j + 1
+        case '"' =>
+          // quoted lexical form incl. escapes, then optional @lang / ^^ref
+          val sb = new StringBuilder("\"")
+          i += 1
+          while (s(i) != '"') {
+            if (s(i) == '\\') { sb.append(s(i)).append(s(i + 1)); i += 2 }
+            else { sb.append(s(i)); i += 1 }
+          }
+          sb.append('"'); i += 1
+          if (i < s.length && s(i) == '@') {
+            while (i < s.length && !isBoundary(s(i)) && s(i) != '.') { sb.append(s(i)); i += 1 }
+          } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {
+            sb.append("^^"); i += 2
+            if (s(i) == '<') {
+              val j = s.indexOf('>', i)
+              sb.append(s.substring(i, j + 1)); i = j + 1
+            } else {
+              while (i < s.length && !isBoundary(s(i)) && s(i) != '.') { sb.append(s(i)); i += 1 }
+            }
+          }
+          out += Lit(sb.toString)
+        case c @ (';' | ',') => out += Punct(c); i += 1
+        case '.' if i + 1 >= s.length || s(i + 1).isWhitespace || s(i + 1) == '#' =>
+          out += Punct('.'); i += 1
+        case _ =>
+          val start = i
+          while (i < s.length && !isBoundary(s(i)) &&
+            !(s(i) == '.' && (i + 1 >= s.length || s(i + 1).isWhitespace))) i += 1
+          val w = s.substring(start, i)
+          w match {
+            case "a"                                   => out += Keyword("a")
+            case "@prefix" | "@base" | "PREFIX" | "BASE" => out += Keyword(w)
+            case _ if w.startsWith("_:")               => out += BNode(w)
+            case _ if w.contains(":") =>
+              val k = w.indexOf(':')
+              out += Prefixed(w.substring(0, k), w.substring(k + 1))
+            case _ => out += Keyword(w)
+          }
+      }
+    }
+    out.toIndexedSeq
+  }
+
+  // ---- namespace compaction ------------------------------------------
+
+  /**
+   * The reference's IRI compaction (StoreStatementToKB.getFormattedValue):
+   * plain quoted literals and "website-shaped" values (ending in `/` or
+   * with exactly two slashes) stay as-is; everything else is split at the
+   * last `#` (else last `/`) into namespace + local and rendered
+   * `p<k>:<local>` (typed literals keep their `lex^^` head). Prefix ids
+   * `p<k>` come from the SORTED distinct-namespace rank — deterministic
+   * under any partitioning, unlike the reference's arrival counter.
+   * Returns (compacted triples, prefix table (prefix, namespace)).
+   */
+  def compactIris(triples: DataFrame): (DataFrame, DataFrame) = {
+    def tgt(c: Column): Column = // the IRI portion (after ^^ when typed)
+      when(c.contains("^^"), substring_index(c, "^", -1)).otherwise(c)
+    def upToLast(c: Column, sep: String): Column =
+      substring(c, lit(1), length(c) - length(substring_index(c, sep, -1)))
+    def slashes(c: Column): Column = length(c) - length(regexp_replace(c, "/", ""))
+    def nsOf(c: Column): Column = {
+      val t = tgt(c)
+      when(c.contains("\"") && !c.contains("^^"), lit(null))
+        .when(c.endsWith("/") || slashes(c) === 2, lit(null))
+        .when(t.contains("#") && !t.endsWith("#"), upToLast(t, "#"))
+        .when(c.contains("/"), upToLast(t, "/"))
+        .otherwise(lit(null))
+    }
+
+    val cols = Seq("subj", "pred", "obj")
+    val ns = cols.map(c => triples.select(nsOf(col(c)).as("namespace")))
+      .reduce(_ union _)
+      .where(col("namespace").isNotNull).distinct()
+    val w = org.apache.spark.sql.expressions.Window.orderBy("namespace")
+    // vocabulary-sized table; the single-partition rank window is fine
+    val prefixTable = ns
+      .withColumn("prefix", concat(lit("p"), row_number().over(w) - 1))
+      .select("prefix", "namespace")
+
+    def compact(df: DataFrame, c: String): DataFrame = {
+      val withNs = df.withColumn("__ns", nsOf(col(c)))
+      withNs.join(broadcast(prefixTable), withNs("__ns") === prefixTable("namespace"), "left")
+        .withColumn(c,
+          when(col("__ns").isNull, col(c)).otherwise(concat(
+            // typed literals keep everything up to and incl. the last '^'
+            when(col(c).contains("^^"), upToLast(col(c), "^")).otherwise(lit("")),
+            col("prefix"), lit(":"),
+            substring(tgt(col(c)), length(col("__ns")) + 1, length(tgt(col(c)))))))
+        .drop("__ns", "prefix", "namespace")
+    }
+    (cols.foldLeft(triples)(compact), prefixTable)
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.RdfFacts
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Turtle / N-Triples loading + namespace compaction (SURVEY.md §2.1,
+  * reference KB.java:228-247 + StoreStatementToKB.java:10-69). */
+class RdfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def write(name: String, content: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdf")
+    val f   = dir.resolve(name)
+    java.nio.file.Files.write(f, content.getBytes("UTF-8"))
+    f.toString
+  }
+
+  test("N-Triples: line parse, comments, literals with lang/type") {
+    val nt =
+      """# a comment
+        |<http://ex.org/Luis> <http://ex.org/livesIn> <http://ex.org/Paris> .
+        |
+        |<http://ex.org/Luis> <http://ex.org/name> "Luis G."@es .
+        |<http://ex.org/Paris> <http://ex.org/pop> "2e6"^^<http://www.w3.org/2001/XMLSchema#double> .
+        |_:b0 <http://ex.org/knows> <http://ex.org/Luis> .
+        |""".stripMargin
+    val got = RdfFacts.loadNTriples(spark, write("f.nt", nt))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://ex.org/Luis", "http://ex.org/livesIn", "http://ex.org/Paris"),
+      ("http://ex.org/Luis", "http://ex.org/name", "\"Luis G.\"@es"),
+      ("http://ex.org/Paris", "http://ex.org/pop",
+        "\"2e6\"^^<http://www.w3.org/2001/XMLSchema#double>"),
+      ("_:b0", "http://ex.org/knows", "http://ex.org/Luis")))
+  }
+
+  test("Turtle subset: prefixes, a-keyword, semicolon/comma continuation") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+        |# people
+        |ex:Luis a foaf:Person ;
+        |  foaf:knows ex:Thomas , ex:Antoine ;
+        |  foaf:name "Luis" .
+        |ex:Thomas foaf:age "30"^^<http://www.w3.org/2001/XMLSchema#int> .
+        |""".stripMargin
+    val got = RdfFacts.loadTurtle(spark, write("f.ttl", ttl))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("http://ex.org/Luis", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://xmlns.com/foaf/0.1/Person"),
+      ("http://ex.org/Luis", "http://xmlns.com/foaf/0.1/knows", "http://ex.org/Thomas"),
+      ("http://ex.org/Luis", "http://xmlns.com/foaf/0.1/knows", "http://ex.org/Antoine"),
+      ("http://ex.org/Luis", "http://xmlns.com/foaf/0.1/name", "\"Luis\""),
+      ("http://ex.org/Thomas", "http://xmlns.com/foaf/0.1/age",
+        "\"30\"^^<http://www.w3.org/2001/XMLSchema#int>")))
+  }
+
+  test("namespace compaction: deterministic prefixes, reference exceptions") {
+    import spark.implicits._
+    val triples = Seq(
+      ("http://ex.org/people#Luis", "http://ex.org/rel/livesIn", "http://ex.org/cities#Paris"),
+      ("http://ex.org/people#Luis", "http://ex.org/rel/name", "\"Luis\""), // plain literal: untouched
+      ("http://ex.org/people#Luis", "http://ex.org/rel/site", "http://ex.org/"), // ends in '/': untouched
+      ("http://ex.org/people#Luis", "http://ex.org/rel/age",
+        "\"30\"^^http://www.w3.org/2001/XMLSchema#int")) // typed: IRI part compacted
+      .toDF("subj", "pred", "obj")
+    val (compacted, prefixes) = RdfFacts.compactIris(triples)
+    val pm = prefixes.collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    // sorted-namespace rank: cities# < people# < rel/ < XMLSchema#
+    assert(pm.keys.toSeq.sorted.zipWithIndex.forall { case (ns, i) => pm(ns) == s"p$i" })
+    val rows = compacted.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val pPeople = pm("http://ex.org/people#")
+    val pCities = pm("http://ex.org/cities#")
+    val pRel    = pm("http://ex.org/rel/")
+    val pXsd    = pm("http://www.w3.org/2001/XMLSchema#")
+    assert(rows.contains((s"$pPeople:Luis", s"$pRel:livesIn", s"$pCities:Paris")))
+    assert(rows.contains((s"$pPeople:Luis", s"$pRel:name", "\"Luis\"")))
+    assert(rows.contains((s"$pPeople:Luis", s"$pRel:site", "http://ex.org/")))
+    assert(rows.contains((s"$pPeople:Luis", s"$pRel:age", s""""30"^^$pXsd:int""")))
+  }
+}
