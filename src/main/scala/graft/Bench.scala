@@ -89,10 +89,21 @@ object Bench {
     val vocab = 10000
 
     // ---- part 1: pipeline throughput at N and 4N (same input) ----
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    // 2 reps by default: this VM shows CPU-steal spikes (±15% run-to-run)
+    // and min-of-reps is the stable estimator of the job's true cost
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val scaling = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")) "" else {
-      val (t1, s1) = pipelineRun(n, docs, vocab, reps)
-      val (t4, s4) = pipelineRun(4 * n, docs, vocab, reps)
+      // INTERLEAVE the two levels across reps (N, 4N, N, 4N …) and take
+      // the per-level minimum: the efficiency is a ratio of two
+      // measurements minutes apart, so a steal spike during either level
+      // alone skews it — interleaving decorrelates the windows
+      val pairs = (1 to reps).map { _ =>
+        (pipelineRun(n, docs, vocab, 1), pipelineRun(4 * n, docs, vocab, 1))
+      }
+      val t1 = pairs.head._1._1
+      val t4 = pairs.head._2._1
+      val s1 = pairs.map(_._1._2).min
+      val s4 = pairs.map(_._2._2).min
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
       val eff   = (tps4N / tpsN) / 4.0

@@ -190,19 +190,20 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       val fresh = Var(Iterator.from(0).map(k => s"z$k").find(!used(_)).get)
       val open = r.openVars.map(_.name).toSet
       val lastLevel = r.length + 1 == config.maxDepth
-      // O_D dangling: join one existing var, other side fresh — only if the
-      // child can still be closed afterwards (AMIE.java:421-425).
+      // O_D dangling: join one existing var (bias-chosen set), other side
+      // fresh — only if the child can still be closed afterwards
+      // (AMIE.java:421-425).
       if (!lastLevel) {
-        for (v <- vars) {
+        for (v <- bias.danglingJoinVars(r)) {
           templates += ((i, Atom(v, Var(candCol), fresh), true))
           templates += ((i, Atom(fresh, Var(candCol), v), true))
         }
       }
-      // O_C closing: both sides existing vars. At the last level the child
-      // must end up closed: the new atom must cover all open vars
-      // (DMA:127-137 max-length pruning).
+      // O_C closing: both sides existing vars (bias-chosen pairs). At the
+      // last level the child must end up closed: the new atom must cover
+      // all open vars (DMA:127-137 max-length pruning).
       for {
-        v1 <- vars; v2 <- vars if v1 != v2
+        (v1, v2) <- bias.closingPairs(r)
         closesAll = open.subsetOf(Set(v1.name, v2.name))
         if !lastLevel || closesAll
       } templates += ((i, Atom(v1, Var(candCol), v2), false))

@@ -11,6 +11,18 @@ import graft.kb.{Const, Var}
  * computed, never the rule algebra: the BFS, operators and thresholds live
  * in [[Miner]]; a bias supplies the counting variables and the denominator
  * strategy.
+ *
+ * Two reference variants are intentionally absent:
+ *  - `lazit` (LazyIteratorMiningAssistant) differs from `lazy` only in HOW
+ *    the bounded count iterates (lazy iterators vs recursive counting);
+ *    the bound semantics are identical, so [[MiningBias.Lazy]] covers both
+ *    — Spark's `limit` early-stop IS the iterator form.
+ *  - the variable-order family (DefaultMiningAssistantWithOrder.java:37-59
+ *    + variableorder/AppearanceOrder|FunctionalOrder|InverseOrder) picks
+ *    which head variable the reference's recursive pair count iterates
+ *    FIRST — the resulting distinct-pair cardinality is order-independent,
+ *    and execution order inside `countDistinct(struct(x, y))` belongs to
+ *    Catalyst here. Semantically N/A by re-architecture.
  */
 sealed trait MiningBias {
 
@@ -29,6 +41,15 @@ sealed trait MiningBias {
     * excludes the schema relations themselves,
     * RelationSignatureDefaultMiningAssistant.java:29-33). */
   def excludedRelations: Set[String] = Set.empty
+
+  /** Variables a dangling (O_D) atom may join. Default: every variable of
+    * the rule (DefaultMiningAssistant.java:253-406). */
+  def danglingJoinVars(r: Rule): Seq[Var] = r.allVars
+
+  /** Ordered variable pairs a closing (O_C) atom may connect. Default:
+    * every ordered pair (DMA:98-243). */
+  def closingPairs(r: Rule): Seq[(Var, Var)] =
+    for { v1 <- r.allVars; v2 <- r.allVars if v1 != v2 } yield (v1, v2)
 
   /** Extra atoms appended to a closed rule before scoring/output (the
     * `signatured` bias adds `type(x, domain(rh))` / `type(y, range(rh))`,
@@ -62,6 +83,46 @@ object MiningBias {
   case object Lazy extends MiningBias {
     def countVars(metrics: Metrics, r: Rule): Seq[Var] = r.headVars
     override def lazyDenominators: Boolean = true
+  }
+
+  /**
+   * AnyBurlMiningAssistant (pyclause/AnyBurlMiningAssistant.java:26-185):
+   * mine PATH rules only, the shape PyClause/AnyBURL consumes. Dangling
+   * atoms extend the chain at the LAST body atom's open end (the head's
+   * subject when the body is empty); closing atoms connect the chain's
+   * end to the head's object. Export with [[RuleSink.toAnyBurlDF]].
+   */
+  case object AnyBurl extends MiningBias {
+    def countVars(metrics: Metrics, r: Rule): Seq[Var] = r.headVars
+
+    override def danglingJoinVars(r: Rule): Seq[Var] =
+      if (r.isClosed) Nil // a closed path re-opened would fork the chain
+      else if (r.body.isEmpty) r.head.s match {
+        case v: Var => Seq(v)
+        case _      => r.headVars.take(1)
+      }
+      else {
+        val open = r.openVars.toSet
+        val last = r.body.filterNot(_.isPseudo).last
+        (last.s, last.o) match {
+          case (v: Var, _) if open(v) => Seq(v)
+          case (_, v: Var) if open(v) => Seq(v)
+          case _                      => Nil
+        }
+      }
+
+    override def closingPairs(r: Rule): Seq[(Var, Var)] =
+      if (r.isClosed) Nil
+      else if (r.body.isEmpty)
+        super.closingPairs(r) // level 1: any pair (the reference falls back
+                              // to open × openable, AnyBurlMiningAssistant.java:46-57)
+      else {
+        val open = r.openVars.toSet
+        val last = r.body.filterNot(_.isPseudo).last
+        val chainEnd = Seq(last.s, last.o).collect { case v: Var if open(v) => v }
+        val headEnd  = Seq(r.head.o).collect { case v: Var => v }
+        for { a <- chainEnd; b <- headEnd if a != b; p <- Seq((a, b), (b, a)) } yield p
+      }
   }
 
   /**

@@ -51,4 +51,40 @@ object LinkScore {
       .join(broadcast(obj), "obj_alias")
       .select("doc_id", "span_idx", "subj", "rel", "obj")
   }
+
+  import org.apache.spark.sql.expressions.Window
+
+  /** Canonical entity → dense id. Vocabulary-sized, so the
+    * single-partition rank window is fine; sorted-order ids make encode
+    * and decode deterministic under any partitioning. */
+  def entityDictionary(aliasMap: DataFrame): DataFrame =
+    bestCandidates(aliasMap).select(col("canonical")).distinct()
+      .withColumn("entity_id", row_number().over(Window.orderBy("canonical")).cast("long"))
+
+  /** Relation → dense id (a handful of rows). */
+  def relDictionary(mentions: DataFrame): DataFrame =
+    mentions.select(col("rel")).distinct()
+      .withColumn("rel_id", row_number().over(Window.orderBy("rel")).cast("long"))
+
+  /**
+   * [[link]] with subj/rel/obj DICTIONARY-ENCODED to longs (subject kept
+   * as a string column too, for the storage-bucket hash). The caller
+   * shuffles the narrow (id) row and decodes AFTER the exchange with
+   * broadcast joins — on the bandwidth-limited materialize shuffle this
+   * replaces three per-row strings with three fixed 8-byte longs.
+   */
+  def linkEncoded(
+      mentions: DataFrame, aliasMap: DataFrame,
+      entityDict: DataFrame, relDict: DataFrame): DataFrame = {
+    val best = bestCandidates(aliasMap).join(entityDict, "canonical")
+    val subj = best.select(col("alias").as("subj_alias"),
+      col("entity_id").as("subj_id"), col("canonical").as("subj"))
+    val obj  = best.select(col("alias").as("obj_alias"), col("entity_id").as("obj_id"))
+    mentions
+      .join(broadcast(subj), "subj_alias")
+      .join(broadcast(obj), "obj_alias")
+      .join(broadcast(relDict), "rel")
+      .select(col("doc_id"), col("span_idx"),
+        col("subj"), col("subj_id"), col("rel_id"), col("obj_id"))
+  }
 }

@@ -102,15 +102,29 @@ final class Pipeline(
     // is cheap to recompute from (mentions, alias_map) — persisting it
     // would double the heaviest I/O for no resume value
     stage("triples", docsFp + "|" + aliasFp, partitionCols = Seq("bucket")) {
-      val salted = LinkScore.link(mentions, aliasMap)
+      // the materialize exchange is the pipeline's dominant shuffle and
+      // this VM (like any node) is memory-bandwidth-bound on row churn:
+      // subj/rel/obj ship as dictionary-encoded LONGS through the shuffle
+      // (bucket/salt computed before, from the string form) and decode
+      // back via broadcast joins on the reduce side, just before the sink
+      val entityDict = LinkScore.entityDictionary(aliasMap)
+      val relDict    = LinkScore.relDictionary(mentions)
+      val salted = LinkScore.linkEncoded(mentions, aliasMap, entityDict, relDict)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
         .withColumn("salt",
           pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)).cast("int"))
+        .select("doc_id", "span_idx", "subj_id", "rel_id", "obj_id", "bucket", "salt")
         .repartition(col("bucket"), col("salt"))
-      salted.select(
-        col("subj"), col("rel").as("pred"), col("obj"),
-        col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
-        col("bucket"))
+      salted
+        .join(broadcast(entityDict.select(
+          col("entity_id").as("subj_id"), col("canonical").as("subj"))), "subj_id")
+        .join(broadcast(entityDict.select(
+          col("entity_id").as("obj_id"), col("canonical").as("obj"))), "obj_id")
+        .join(broadcast(relDict.select(col("rel_id"), col("rel").as("pred"))), "rel_id")
+        .select(
+          col("subj"), col("pred"), col("obj"),
+          col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
+          col("bucket"))
     }
   }
 

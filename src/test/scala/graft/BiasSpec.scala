@@ -98,6 +98,25 @@ class BiasSpec extends AnyFunSuite {
     assert(r1.get.pcaConfidence == 1.0)
   }
 
+  test("anyBurl bias mines path rules only, with exact metrics") {
+    val kb = Fixtures.extendedKB(spark)
+    val rules = new Miner(kb, cfg.copy(bias = MiningBias.AnyBurl)).mine()
+    assert(rules.nonEmpty)
+    val m = new Metrics(kb.distinct(), graft.kb.KGStats.compute(kb.distinct()))
+    rules.foreach { s =>
+      assert(m.containsSinglePath(s.rule),
+        s"not a path rule: ${s.rule.amieString}")
+    }
+    val r1 = rules.find { s =>
+      s.rule.head.p == Const("livesIn") &&
+      s.rule.body.map(_.p).toSet == Set(Const("worksAt"), Const("isLocatedIn"))
+    }
+    assert(r1.isDefined)
+    assert(r1.get.support == 3)
+    assert(r1.get.stdConfidence == 0.75)
+    assert(r1.get.pcaConfidence == 0.75)
+  }
+
   test("relation signatures inherit through rdfs:subPropertyOf") {
     import spark.implicits._
     val kb = Seq(
