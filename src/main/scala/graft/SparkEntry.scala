@@ -308,6 +308,26 @@ object SparkEntry {
         .select(col("subj"), col("pred"), col("obj"))
     },
 
+    // ---- §2.1/§2.11 schema: relation domain/range with subPropertyOf
+    //      inheritance (Schema.java:415-458) over an rdfs-annotated KB
+    "kb_rel_signatures" -> { (s, dir) =>
+      import s.implicits._
+      val schemaFacts = Seq(
+        ("custNation", "rdfs:domain", "Customer"),
+        ("custNation", "rdfs:range", "Nation"),
+        ("suppNation", "rdfs:domain", "Supplier"),
+        ("suppNation", "rdfs:range", "Nation"),
+        ("nationRegion", "rdfs:domain", "Nation"),
+        ("nationRegion", "rdfs:range", "Region"),
+        ("custRegion", "rdfs:subPropertyOf", "custNation"))
+        .toDF("subj", "pred", "obj")
+      val kb = tpchTriples(s, dir).union(schemaFacts)
+      val (d, r) = Taxonomy.relationSignatures(kb)
+      (d.keySet ++ r.keySet).toSeq.sorted
+        .map(rel => (rel, d.get(rel).orNull, r.get(rel).orNull))
+        .toDF("rel", "dom", "rng")
+    },
+
     // ---- §2.1 dictionary: deterministic dense ids + encode round-trip
     "kb_dictionary" -> ((s, dir) => Dictionary.build(tpchTriples(s, dir))),
     "kb_encoded" -> { (s, dir) =>
@@ -516,6 +536,40 @@ object SparkEntry {
          |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.3""".stripMargin,
     "dedup_minhash_lsh" -> minhashSql,
     "dedup_clusters" -> dedupClustersSql,
+    "kb_rel_signatures" ->
+      """WITH RECURSIVE sf(subj, pred, obj) AS (
+        |  SELECT * FROM (VALUES
+        |    ('custNation', 'rdfs:domain', 'Customer'),
+        |    ('custNation', 'rdfs:range', 'Nation'),
+        |    ('suppNation', 'rdfs:domain', 'Supplier'),
+        |    ('suppNation', 'rdfs:range', 'Nation'),
+        |    ('nationRegion', 'rdfs:domain', 'Nation'),
+        |    ('nationRegion', 'rdfs:range', 'Region'),
+        |    ('custRegion', 'rdfs:subPropertyOf', 'custNation')) t(a, b, c)),
+        |sp(child, parent) AS (
+        |  SELECT subj, obj FROM sf WHERE pred = 'rdfs:subPropertyOf'
+        |  UNION
+        |  SELECT sp.child, s2.obj FROM sp
+        |  JOIN sf s2 ON sp.parent = s2.subj AND s2.pred = 'rdfs:subPropertyOf'),
+        |decl_d AS (SELECT subj AS rel, min(obj) AS dom FROM sf WHERE pred = 'rdfs:domain' GROUP BY subj),
+        |decl_r AS (SELECT subj AS rel, min(obj) AS rng FROM sf WHERE pred = 'rdfs:range' GROUP BY subj),
+        |inh_d AS (SELECT child AS rel, dom FROM (
+        |  SELECT sp.child, decl_d.dom,
+        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.parent) AS rn
+        |  FROM sp JOIN decl_d ON sp.parent = decl_d.rel
+        |  WHERE sp.child NOT IN (SELECT rel FROM decl_d)) WHERE rn = 1),
+        |inh_r AS (SELECT child AS rel, rng FROM (
+        |  SELECT sp.child, decl_r.rng,
+        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.parent) AS rn
+        |  FROM sp JOIN decl_r ON sp.parent = decl_r.rel
+        |  WHERE sp.child NOT IN (SELECT rel FROM decl_r)) WHERE rn = 1),
+        |d AS (SELECT * FROM decl_d UNION ALL SELECT * FROM inh_d),
+        |r AS (SELECT * FROM decl_r UNION ALL SELECT * FROM inh_r),
+        |rels AS (SELECT DISTINCT rel FROM (
+        |  SELECT rel FROM d UNION ALL SELECT rel FROM r))
+        |SELECT rels.rel, d.dom, r.rng FROM rels
+        |LEFT JOIN d ON d.rel = rels.rel
+        |LEFT JOIN r ON r.rel = rels.rel""".stripMargin,
     "kb_dictionary" ->
       s"""$triplesCte,
          |terms AS (SELECT DISTINCT term FROM (
