@@ -64,6 +64,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("codegen id"), s"stats pass fell out of codegen:\n$p")
   }
 
+  test("pair-producing dedup/similarity ops join on bucket keys, never cartesian") {
+    import spark.implicits._
+    val docs = (1 to 50)
+      .map(i => (i.toLong, s"alpha beta gamma delta tok$i epsilon zeta", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val emb = (1 to 30)
+      .map(i => (i.toLong, Array.fill(8)((i % 7).toFloat + 0.5f), "l1"))
+      .toDF("vec_id", "embedding", "label")
+    for (df <- Seq(
+        graft.functions.Dedup.simhashPairs(docs, maxHamming = 3),
+        graft.functions.Dedup.minhashLsh(docs),
+        graft.functions.Similarity.embeddingNearDups(emb, minCosine = 0.3))) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"cartesian pair join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop pair join:\n$p")
+    }
+  }
+
+  test("fused rule scoring is one plan: body scanned once, markers broadcastable") {
+    val t = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val m = new graft.mine.Metrics(t, KGStats.compute(t))
+    val r = graft.mine.Rule(
+      Atom(Var("x"), Const("livesIn"), Var("c")),
+      List(Atom(Var("x"), Const("worksAt"), Var("t")),
+        Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
+    val s = m.score(r)
+    assert(s.support > 0)
+    // the single fused aggregation must produce all three counts
+    assert(s.bodySize >= s.support && s.pcaBodySize >= s.support)
+  }
+
   test("conjunctive query compiles to one declarative join plan (no cartesian)") {
     val t = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
     val df = QueryBuilder.bindings(t, Seq(
