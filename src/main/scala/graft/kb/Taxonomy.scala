@@ -43,6 +43,14 @@ object Taxonomy {
     closure
   }
 
+  /** parent class → DIRECT subclasses (Schema.getSubTypes semantics,
+    * Schema.java:586-607), as a deterministic driver map — the shape the
+    * miner's type-specialization operator consumes. Vocabulary-sized. */
+  def directSubTypes(subClassOf: DataFrame): Map[String, Seq[String]] =
+    subClassOf.toDF("child", "parent").distinct().collect()
+      .map(r => r.getString(1) -> r.getString(0))
+      .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).toSeq.sorted }
+
   /**
    * Relation → declared domain/range class, from `rdfs:domain` /
    * `rdfs:range` facts in the KB — the reference's

@@ -32,7 +32,15 @@ final case class MinerConfig(
     /** counting/denominator strategy — the assistant-variant surface
       * (MiningAssistantFactory.java:33-90): default, oneVar, lazy,
       * signatured. */
-    bias: MiningBias = MiningBias.Default)
+    bias: MiningBias = MiningBias.Default,
+    /** O_T type specialization (MiningAssistant.java:902-925; disabled in
+      * the reference's default assistant too, DMA:409-411 — opt-in here):
+      * a rule whose last body atom is `typeRelation(x, C)` spawns children
+      * replacing C with each DIRECT subtype, support re-measured. Supply
+      * parent → direct-subtypes via [[graft.kb.Taxonomy.directSubTypes]]. */
+    enableTypeSpecialization: Boolean = false,
+    typeRelation: String = "rdf:type",
+    subTypes: Map[String, Seq[String]] = Map.empty)
 
 /**
  * Level-synchronous BFS rule miner — the Spark re-architecture of the
@@ -268,8 +276,21 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         else reguarded += ((Rule(child.head, child.body ++ guards), floor))
       }
     }
-    // re-measure guarded children in chunked jobs (the guard only shrinks
-    // support, so the threshold must be re-checked — DMA:381-393)
+    // O_T type specialization (MA:902-925, opt-in): children join the same
+    // support re-measure batch as the guarded ones. Counting uses the
+    // active bias's variables (the reference's base impl counts the
+    // functional variable; the per-bias choice keeps thresholds coherent
+    // with every other operator here).
+    if (config.enableTypeSpecialization) {
+      for (n <- nodes; child <- typeSpecializations(n.rule)) {
+        val floor = math.max(n.ancestorConf,
+          outputConf.getOrElse(n.rule.canonical, -1.0))
+        reguarded += ((child, floor))
+      }
+    }
+    // re-measure guarded/specialized children in chunked jobs (the guard
+    // only shrinks support, so the threshold must be re-checked —
+    // DMA:381-393; specialized atoms change support entirely)
     if (reguarded.nonEmpty) {
       val parts = reguarded.zipWithIndex.map { case ((r, _), i) =>
         val hv = countVarsOf(r)
@@ -288,6 +309,22 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     }
     if (config.enableConstants) children ++= instantiateLevel(nodes, outputConf)
     children.toSeq
+  }
+
+  /** Type-specialized children of one rule (no support yet): last body
+    * atom `typeRelation(x, C)` with constant C → one child per direct
+    * subtype of C (MiningAssistant.getTypeSpecializedAtoms, MA:902-925). */
+  private[graft] def typeSpecializations(r: Rule): Seq[Rule] = {
+    val i = r.body.lastIndexWhere(!_.isPseudo)
+    if (i < 0) return Nil
+    val a = r.body(i)
+    (a.p, a.o) match {
+      case (Const(p), Const(cls)) if p == config.typeRelation =>
+        config.subTypes.getOrElse(cls, Nil).map { sub =>
+          Rule(r.head, r.body.updated(i, a.copy(o = Const(sub))))
+        }
+      case _ => Nil
+    }
   }
 
   /**
