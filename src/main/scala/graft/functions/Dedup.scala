@@ -87,13 +87,14 @@ object Dedup {
     * unigram-token signatures are stopword-dominated (unrelated docs
     * share most of their token SET), which measured as >50% of all pairs
     * becoming LSH candidates. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
-      .select(col("doc_id"), col("ng"))
-      .withColumn("h", expr(s"${tokHash32("ng")} % $P"))
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    signaturesFromShingles(shingles(docs))
+
+  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
+    val h = sh.select(col("doc_id"), expr(s"${tokHash32("ng")} % $P").as("h"))
     val aggs = (0 until Bands * Rows).map(i =>
       min(expr(s"(${A(i)} * h + ${B(i)}) % $P")).as(s"mh$i"))
-    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /**
@@ -102,8 +103,10 @@ object Dedup {
    * projections unions into one bucket join keyed by (band, signature) —
    * the classic sub-quadratic near-dup candidate generator.
    */
-  def minhashLsh(docs: DataFrame): DataFrame = {
-    val sig = minhashSignatures(docs)
+  def minhashLsh(docs: DataFrame): DataFrame =
+    lshFromSignatures(minhashSignatures(docs))
+
+  private def lshFromSignatures(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -126,13 +129,17 @@ object Dedup {
    * by candidate count, and the clustering by the verified-edge count.
    */
   def nearDupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
-    // cand is consumed 3× (candidate-doc semi-join, pair semi-join) and sh
-    // 3× (sizes + both sides of the intersection self-join): materialize
-    // each ONCE. localCheckpoint also truncates the MinHash lineage so the
-    // downstream CC plans stay flat; on a real cluster this becomes a
-    // reliable checkpoint to the job's checkpoint dir.
-    val cand = minhashLsh(docs).localCheckpoint(true) // (doc_a, doc_b), doc_a < doc_b
-    val sh   = shingles(docs).select("doc_id", "ng")
+    // ONE shingle pass feeds both the MinHash signatures and the exact
+    // verification; cand is consumed 3× (candidate-doc semi-join, pair
+    // semi-join) and sh 3× (sizes + both sides of the intersection
+    // self-join): materialize each ONCE. localCheckpoint also truncates
+    // the MinHash lineage so the downstream CC plans stay flat; on a real
+    // cluster this becomes a reliable checkpoint to the job's checkpoint
+    // dir.
+    val allSh = shingles(docs).select("doc_id", "ng").localCheckpoint(true)
+    val cand = lshFromSignatures(signaturesFromShingles(allSh))
+      .localCheckpoint(true) // (doc_a, doc_b), doc_a < doc_b
+    val sh = allSh
       .join(cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .localCheckpoint(true)

@@ -229,7 +229,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       df.groupBy(col(candCol)).agg(cd.as("supp"))
         .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
     }
-    val counted = parts.grouped(Metrics.JobChunk).toSeq
+    val counted = parts.grouped(Miner.TemplateChunk).toSeq
       .flatMap(chunk => chunk.reduce(_ union _).collect())
 
     val children  = scala.collection.mutable.ArrayBuffer[Node]()
@@ -382,4 +382,9 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     }
     out.toSeq
   }
+}
+
+object Miner {
+  /** Template-counting plans unioned per job (scratch knob for tuning). */
+  val TemplateChunk = 48
 }
