@@ -546,22 +546,24 @@ object SparkEntry {
         |    ('nationRegion', 'rdfs:domain', 'Nation'),
         |    ('nationRegion', 'rdfs:range', 'Region'),
         |    ('custRegion', 'rdfs:subPropertyOf', 'custNation')) t(a, b, c)),
-        |sp(child, parent) AS (
-        |  SELECT subj, obj FROM sf WHERE pred = 'rdfs:subPropertyOf'
+        |sp(child, parent, depth) AS (
+        |  SELECT subj, obj, 1 FROM sf WHERE pred = 'rdfs:subPropertyOf'
         |  UNION
-        |  SELECT sp.child, s2.obj FROM sp
-        |  JOIN sf s2 ON sp.parent = s2.subj AND s2.pred = 'rdfs:subPropertyOf'),
+        |  SELECT sp.child, s2.obj, sp.depth + 1 FROM sp
+        |  JOIN sf s2 ON sp.parent = s2.subj AND s2.pred = 'rdfs:subPropertyOf'
+        |  WHERE sp.depth < 32),
+        |spmin AS (SELECT child, parent, min(depth) AS depth FROM sp GROUP BY 1, 2),
         |decl_d AS (SELECT subj AS rel, min(obj) AS dom FROM sf WHERE pred = 'rdfs:domain' GROUP BY subj),
         |decl_r AS (SELECT subj AS rel, min(obj) AS rng FROM sf WHERE pred = 'rdfs:range' GROUP BY subj),
         |inh_d AS (SELECT child AS rel, dom FROM (
         |  SELECT sp.child, decl_d.dom,
-        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.parent) AS rn
-        |  FROM sp JOIN decl_d ON sp.parent = decl_d.rel
+        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.depth, sp.parent) AS rn
+        |  FROM spmin sp JOIN decl_d ON sp.parent = decl_d.rel
         |  WHERE sp.child NOT IN (SELECT rel FROM decl_d)) WHERE rn = 1),
         |inh_r AS (SELECT child AS rel, rng FROM (
         |  SELECT sp.child, decl_r.rng,
-        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.parent) AS rn
-        |  FROM sp JOIN decl_r ON sp.parent = decl_r.rel
+        |    row_number() OVER (PARTITION BY sp.child ORDER BY sp.depth, sp.parent) AS rn
+        |  FROM spmin sp JOIN decl_r ON sp.parent = decl_r.rel
         |  WHERE sp.child NOT IN (SELECT rel FROM decl_r)) WHERE rn = 1),
         |d AS (SELECT * FROM decl_d UNION ALL SELECT * FROM inh_d),
         |r AS (SELECT * FROM decl_r UNION ALL SELECT * FROM inh_r),

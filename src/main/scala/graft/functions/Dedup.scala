@@ -149,12 +149,17 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
       .join(cand, Seq("doc_a", "doc_b"), "left_semi") // only LSH candidates
-    // zero-pad ids for CC: it picks the LEXICOGRAPHIC min as the
-    // representative, which must coincide with the numeric min for numeric
-    // ids ("10" < "9" otherwise). Ids keep their ORIGINAL type end-to-end:
-    // the padded form is only the CC key and is mapped back through the
-    // (pid → doc_id) projection — no lossy cast (non-numeric ids work too).
-    def pid(c: org.apache.spark.sql.Column) = lpad(c.cast("string"), 20, "0")
+    // LENGTH-PREFIX ids for CC: it picks the LEXICOGRAPHIC min as the
+    // representative, and "0004|" + id orders shorter-before-longer, which
+    // coincides with the numeric min for numeric ids ("10" < "9" under
+    // plain string order otherwise) and never truncates long ids (lpad
+    // would cut ids past its width, colliding distinct docs). Ids keep
+    // their ORIGINAL type end-to-end: the prefixed form is only the CC key
+    // and is mapped back through the (pid → doc_id) projection.
+    def pid(c: org.apache.spark.sql.Column) = {
+      val sc = c.cast("string")
+      concat(lpad(length(sc).cast("string"), 4, "0"), lit("|"), sc)
+    }
     val verified = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")

@@ -71,16 +71,30 @@ object Taxonomy {
       triples.where(col("pred") === rel)
         .groupBy("subj").agg(min("obj").as("cls"))
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val subProps = transitiveClosure(
+    val directParents: Map[String, Seq[String]] =
       triples.where(col("pred") === subPropertyRelation)
-        .select(col("subj").as("child"), col("obj").as("parent")))
-      .collect().map(r => r.getString(0) -> r.getString(1))
-      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+        .select(col("subj"), col("obj")).distinct()
+        .collect().map(r => r.getString(0) -> r.getString(1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    // NEAREST declared ancestor (Schema.java:434-458 recurses one level at
+    // a time): BFS by parent levels, ties at a level broken by the
+    // lexicographically-smallest ancestor — deterministic at any scale.
     def withFallback(m: Map[String, String]): Map[String, String] = {
-      val inherited = subProps.flatMap { case (child, ancestors) =>
-        if (m.contains(child)) None
-        else ancestors.flatMap(m.get).headOption.map(child -> _)
-      }
+      val inherited = directParents.keysIterator.filterNot(m.contains).flatMap { rel =>
+        val visited  = scala.collection.mutable.Set(rel)
+        var frontier = directParents.getOrElse(rel, Nil).filterNot(visited)
+        var found    = Option.empty[String]
+        while (found.isEmpty && frontier.nonEmpty) {
+          val withDecl = frontier.filter(m.contains).sorted
+          if (withDecl.nonEmpty) found = Some(m(withDecl.head))
+          else {
+            visited ++= frontier
+            frontier = frontier.flatMap(p => directParents.getOrElse(p, Nil))
+              .distinct.filterNot(visited).sorted
+          }
+        }
+        found.map(rel -> _)
+      }.toMap
       m ++ inherited
     }
     (withFallback(declared(domainRelation)), withFallback(declared(rangeRelation)))

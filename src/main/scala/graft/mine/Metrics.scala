@@ -84,7 +84,9 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   private def fusedPlan(ruleId: Int, r: Rule, countVars: Seq[Var]): Option[DataFrame] = {
     val hv = countVars
     if (r.body.isEmpty || hv.isEmpty) return None
-    val bodyVars = r.body.flatMap(_.vars).map(_.name).toSet
+    // variables PROJECTED by the body plan: positive atoms only (pseudo
+    // atoms are filters and contribute no columns)
+    val bodyVars = r.body.filterNot(_.isPseudo).flatMap(_.vars).map(_.name).toSet
     // the head marker joins on ALL head variables (the head atom
     // constrains every one of them); countVars only selects what is
     // counted distinct (all head vars for the default bias, the
@@ -231,8 +233,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
    * only 3-atom rules qualify (MiningAssistant.java:988-992).
    */
   def hardTypeI(r: Rule): Option[(Atom, Atom, Boolean)] =
-    if (r.body.size != 2) None
-    else (r.body: @unchecked) match {
+    if (r.realBody.size != 2) None
+    else (r.realBody: @unchecked) match {
       case List(a1, a2)
           if a1.p == a2.p && a1.vars.size == 2 && a2.vars.size == 2 =>
         if (a1.s != a2.s && a1.o == a2.o) Some((a1, a2, true))  // shared object
@@ -297,9 +299,9 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     * AbstractKB.java:352-383): two 2-variable body atoms sharing exactly
     * one variable. Returns (t1, t2, posInT2, posInT1) of the shared var. */
   def hardTypeIII(r: Rule): Option[(Atom, Atom, Int, Int)] =
-    if (r.body.size != 2) None
+    if (r.realBody.size != 2) None
     else {
-      val List(t1, t2) = r.body: @unchecked
+      val List(t1, t2) = r.realBody: @unchecked
       if (t1.vars.size != 2 || t2.vars.size != 2) None
       else {
         def pos(t: Term, a: Atom): Int =
@@ -319,8 +321,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     * between the head variables. */
   def containsSinglePath(r: Rule): Boolean = {
     val headVars = r.head.vars
-    if (headVars.size != 2 || r.body.isEmpty) return false
-    val bodyTerms = r.body.flatMap(a => Seq(a.s, a.o))
+    if (headVars.size != 2 || r.realBody.isEmpty) return false
+    val bodyTerms = r.realBody.flatMap(a => Seq(a.s, a.o))
     if (bodyTerms.exists(!_.isInstanceOf[Var])) return false
     val freq = bodyTerms.groupBy(identity).map { case (k, v) => k -> v.size }
     bodyTerms.distinct.forall { v =>
@@ -337,8 +339,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     var joinV: Term = start
     var last: Atom  = null
     var guard = 0
-    while (joinV != end && guard <= r.body.size) {
-      val atom = r.body.find(a => a != last && (a.s == joinV || a.o == joinV)).get
+    while (joinV != end && guard <= r.realBody.size) {
+      val atom = r.realBody.find(a => a != last && (a.s == joinV || a.o == joinV)).get
       path += atom
       joinV = if (atom.s == joinV) atom.o else atom.s
       last = atom

@@ -346,11 +346,19 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     if (tasks.isEmpty) return Nil
 
     val parts = tasks.zipWithIndex.map { case ((idx, v), taskId) =>
-      val r    = nodes(idx).rule
-      val rest = r.headVars.filterNot(_ == v)
+      val r = nodes(idx).rule
+      // count with the bias's support variables (minus the one being
+      // bound), so O_I children meet the same threshold semantics as the
+      // dangling/closing operators
+      val rest = countVarsOf(r).filterNot(_ == v) match {
+        case Seq() => r.headVars.filterNot(_ == v) match {
+          case Seq() => r.headVars // head fully consumed: count the pair itself
+          case other => other
+        }
+        case other => other
+      }
       val cd =
-        if (rest.isEmpty) countDistinct(struct(r.headVars.map(h => col(h.name)): _*))
-        else if (rest.size == 1) countDistinct(col(rest.head.name))
+        if (rest.size == 1) countDistinct(col(rest.head.name))
         else countDistinct(struct(rest.map(h => col(h.name)): _*))
       QueryBuilder.bindings(kb, r.atoms)
         .groupBy(col(v.name)).agg(cd.as("supp"))
@@ -368,7 +376,19 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       if (supp >= supportThreshold(headRel(parent.rule))) {
         def sub(t: Term): Term = if (t == v) Const(c) else t
         def subAtom(a: Atom)   = Atom(sub(a.s), sub(a.p), sub(a.o))
-        val child = Rule(subAtom(parent.rule.head), parent.rule.body.map(subAtom))
+        // drop guards the substitution made vacuously TRUE (e.g.
+        // differentFrom(C2, C1)) — keeping them would emit duplicate rules
+        // differing only by a no-op pseudo-atom. Vacuously FALSE guards
+        // never reach here: the pseudo filter already zeroed that
+        // constant's support in the groupBy above.
+        def vacuous(a: Atom): Boolean = a.isPseudo && ((a.s, a.o) match {
+          case (Const(x), Const(y)) =>
+            (a.p == Const(Atom.DifferentFrom) && x != y) ||
+            (a.p == Const(Atom.Equals) && x == y)
+          case _ => false
+        })
+        val child = Rule(subAtom(parent.rule.head),
+          parent.rule.body.map(subAtom).filterNot(vacuous))
         // redundancy guard (Rule.getRedundantAtoms, Rule.java:619-763): a
         // substitution collapsing two atoms into duplicates makes the rule
         // trivially equivalent to its shorter form — never emit it
@@ -385,6 +405,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
 }
 
 object Miner {
-  /** Template-counting plans unioned per job (scratch knob for tuning). */
-  val TemplateChunk = 48
+  /** Candidate-counting plans unioned per job. Measured A/B at sf0.1:
+    * 48 is within noise of 24, so keep the planning-validated 24 (wider
+    * unions have caused Catalyst planning stalls on level-2 mining). */
+  val TemplateChunk = 24
 }

@@ -14,10 +14,16 @@ import graft.kb.{Atom, Const, Term, Var}
 final case class Rule(head: Atom, body: List[Atom]) {
   def atoms: List[Atom] = head :: body
 
+  /** Body atoms that scan data (pseudo-atoms are filters). */
+  def realBody: List[Atom] = body.filterNot(_.isPseudo)
+
   /** Head variables in (subject, object) position order. */
   def headVars: Seq[Var] = head.vars.distinct
 
-  def length: Int = atoms.size
+  /** Rule length counts REAL atoms only (Rule.getRealLength) — pseudo
+    * guards like differentFrom must not consume maxDepth budget, or a
+    * guarded child becomes unrefinable one level early. */
+  def length: Int = 1 + realBody.size
 
   /** Closed-rule language bias (Rule.java:921-935): every variable appears
     * in at least two non-pseudo atoms. */
@@ -49,15 +55,29 @@ final case class Rule(head: Atom, body: List[Atom]) {
    * (TestEquivalenceChecker.java:243-283).
    */
   lazy val canonical: String = {
-    def render(bodyPerm: List[Atom]): String = {
+    def atomStr(a: Atom, t: Term => String) = s"${t(a.p)}(${t(a.s)},${t(a.o)})"
+    def render(bodyPerm: List[Atom], pseudoTail: List[Atom]): String = {
       val ren = scala.collection.mutable.LinkedHashMap[String, String]()
       def t(x: Term): String = x match {
         case Const(v) => v
         case Var(n)   => ren.getOrElseUpdate(n, s"?v${ren.size}")
       }
-      (head :: bodyPerm).map(a => s"${t(a.p)}(${t(a.s)},${t(a.o)})").mkString(" ")
+      val main = (head :: bodyPerm).map(atomStr(_, t)).mkString(" ")
+      if (pseudoTail.isEmpty) main
+      else main + " | " + pseudoTail.map(atomStr(_, t)).sorted.mkString(" ")
     }
-    body.permutations.map(render).min
+    // pseudo-atoms are order-independent filters: rename from the real
+    // permutation, then sort their renderings — this keeps the permutation
+    // count at realBody! instead of body! (guards would otherwise blow it
+    // up factorially). Only valid when every pseudo variable is bound by a
+    // real atom (always true for miner-generated rules); otherwise fall
+    // back to permuting everything.
+    val pseudo = body.filter(_.isPseudo)
+    val realVars = (head :: realBody).flatMap(_.vars).toSet
+    if (pseudo.forall(_.vars.forall(realVars)))
+      realBody.permutations.map(render(_, pseudo)).min
+    else
+      body.permutations.map(render(_, Nil)).min
   }
 
   override def toString: String = {
@@ -123,9 +143,11 @@ object Rule {
    * Rule equivalence by backtracking unification — the reference's
    * QueryEquivalenceChecker.areEquivalent (QueryEquivalenceChecker.java:
    * 20-74): an injective variable mapping and an atom bijection taking
-   * head to head. Equivalent in power to [[Rule.canonical]] equality but
-   * with early pruning instead of enumerating body permutations — prefer
-   * it for pairwise checks of long-bodied rules.
+   * head to head. Equivalent in power to [[Rule.canonical]] equality.
+   * Public pairwise API (the reference exposes its checker the same way);
+   * the BFS dedup keeps using `canonical` because a set membership test
+   * needs a hashable key, and with pseudo-atoms factored out its
+   * permutation count is bounded by the real body length (≤ maxDepth−1).
    */
   def equivalent(r1: Rule, r2: Rule): Boolean = {
     if (r1.length != r2.length) return false

@@ -56,9 +56,11 @@ object LinkScore {
 
   /** Canonical entity → dense id. Vocabulary-sized, so the
     * single-partition rank window is fine; sorted-order ids make encode
-    * and decode deterministic under any partitioning. */
-  def entityDictionary(aliasMap: DataFrame): DataFrame =
-    bestCandidates(aliasMap).select(col("canonical")).distinct()
+    * and decode deterministic under any partitioning. Takes the
+    * already-computed best-candidate table so the (windowed) top-1
+    * reduction runs once per stage, not once per consumer. */
+  def entityDictionary(best: DataFrame): DataFrame =
+    best.select(col("canonical")).distinct()
       .withColumn("entity_id", row_number().over(Window.orderBy("canonical")).cast("long"))
 
   /** Relation → dense id (a handful of rows). */
@@ -74,9 +76,9 @@ object LinkScore {
    * replaces three per-row strings with three fixed 8-byte longs.
    */
   def linkEncoded(
-      mentions: DataFrame, aliasMap: DataFrame,
+      mentions: DataFrame, bestCands: DataFrame,
       entityDict: DataFrame, relDict: DataFrame): DataFrame = {
-    val best = bestCandidates(aliasMap).join(entityDict, "canonical")
+    val best = bestCands.join(entityDict, "canonical")
     val subj = best.select(col("alias").as("subj_alias"),
       col("entity_id").as("subj_id"), col("canonical").as("subj"))
     val obj  = best.select(col("alias").as("obj_alias"), col("entity_id").as("obj_id"))

@@ -107,9 +107,10 @@ final class Pipeline(
       // subj/rel/obj ship as dictionary-encoded LONGS through the shuffle
       // (bucket/salt computed before, from the string form) and decode
       // back via broadcast joins on the reduce side, just before the sink
-      val entityDict = LinkScore.entityDictionary(aliasMap)
+      val best       = LinkScore.bestCandidates(aliasMap).localCheckpoint(true)
+      val entityDict = LinkScore.entityDictionary(best).localCheckpoint(true)
       val relDict    = LinkScore.relDictionary(mentions)
-      val salted = LinkScore.linkEncoded(mentions, aliasMap, entityDict, relDict)
+      val salted = LinkScore.linkEncoded(mentions, best, entityDict, relDict)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
         .withColumn("salt",
           pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)).cast("int"))

@@ -36,11 +36,20 @@ object RdfFacts {
   /** Parse N-Triples: one statement per line, comments/blank lines
     * skipped, IRI brackets stripped, literals kept in their
     * `"lex"[@lang|^^<type>]` form. */
-  def loadNTriples(spark: SparkSession, path: String): DataFrame = {
+  def loadNTriples(spark: SparkSession, path: String, strict: Boolean = false): DataFrame = {
     def unbracket(c: Column): Column =
       when(c.startsWith("<"), substring(c, lit(2), length(c) - 2)).otherwise(c)
     val raw = spark.read.text(path)
       .where(!col("value").rlike("^\\s*(#.*)?$"))
+    // strict: the reference's RDF4J parser errors loudly on malformed
+    // statements; silently dropping lines would build a KB from partial
+    // data with no signal
+    if (strict) {
+      val bad = raw.where(!col("value").rlike(NtLine)).limit(5)
+        .collect().map(_.getString(0))
+      if (bad.nonEmpty) throw new IllegalArgumentException(
+        "unparseable N-Triples line(s), e.g.: " + bad.mkString(" | "))
+    }
     val parsed = raw.select(
       regexp_extract(col("value"), NtLine, 1).as("s"),
       regexp_extract(col("value"), NtLine, 2).as("p"),
@@ -73,18 +82,45 @@ object RdfFacts {
     val prefixes = scala.collection.mutable.Map[String, String]()
     val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
 
+    def expand(pfx: String, local: String): String =
+      prefixes.get(pfx) match {
+        case Some(ns) => ns + local
+        case None     => throw new IllegalArgumentException(s"undeclared prefix '$pfx:'")
+      }
+
+    val Xsd = "http://www.w3.org/2001/XMLSchema#"
+
     def resolve(t: Token): String = t match {
-      case Iri(v)       => v
-      case BNode(v)     => v
-      case Keyword("a") => RdfType
-      case Prefixed(pfx, local) =>
-        prefixes.get(pfx) match {
-          case Some(ns) => ns + local
-          case None     => throw new IllegalArgumentException(s"undeclared prefix '$pfx:'")
+      case Iri(v)               => v
+      case BNode(v)             => v
+      case Keyword("a")         => RdfType
+      case Prefixed(pfx, local) => expand(pfx, local)
+      case Lit(v) =>
+        // a prefixed datatype after ^^ resolves against the prefix table,
+        // keeping the bracketed full-IRI form the N-Triples loader emits.
+        // The separator is the ^^ AFTER the closing quote (the lexical
+        // part may itself contain ^^).
+        val k = v.indexOf("^^", v.lastIndexOf('"'))
+        if (k < 0 || v.startsWith("^^<", k)) v
+        else {
+          val dt = v.substring(k + 2)
+          val c  = dt.indexOf(':')
+          require(c > 0, s"malformed datatype '$dt'")
+          v.substring(0, k) + "^^<" + expand(dt.substring(0, c), dt.substring(c + 1)) + ">"
         }
-      case Lit(v)     => v
-      case Punct(c)   => throw new IllegalArgumentException(s"unexpected '$c'")
-      case Keyword(k) => throw new IllegalArgumentException(s"unexpected '$k'")
+      case Keyword(k) =>
+        // Turtle shorthand literals (integer / decimal / double / boolean)
+        val dt =
+          if (k == "true" || k == "false") Some("boolean")
+          else if (k.matches("[+-]?[0-9]+")) Some("integer")
+          else if (k.matches("[+-]?[0-9]*\\.[0-9]+")) Some("decimal")
+          else if (k.matches("[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)[eE][+-]?[0-9]+")) Some("double")
+          else None
+        dt match {
+          case Some(d) => "\"" + k + "\"^^<" + Xsd + d + ">"
+          case None    => throw new IllegalArgumentException(s"unexpected '$k'")
+        }
+      case Punct(c) => throw new IllegalArgumentException(s"unexpected '$c'")
     }
 
     var i = 0
@@ -200,8 +236,14 @@ object RdfFacts {
    * Returns (compacted triples, prefix table (prefix, namespace)).
    */
   def compactIris(triples: DataFrame): (DataFrame, DataFrame) = {
-    def tgt(c: Column): Column = // the IRI portion (after ^^ when typed)
-      when(c.contains("^^"), substring_index(c, "^", -1)).otherwise(c)
+    // the IRI portion to compact: after ^^ for typed literals, with
+    // surrounding <> stripped (the loaders keep datatype IRIs bracketed
+    // inside the literal token) — compacted output is bracketless
+    def tgt(c: Column): Column = {
+      val after = when(c.contains("^^"), substring_index(c, "^", -1)).otherwise(c)
+      when(after.startsWith("<") && after.endsWith(">"),
+        substring(after, lit(2), length(after) - 2)).otherwise(after)
+    }
     def upToLast(c: Column, sep: String): Column =
       substring(c, lit(1), length(c) - length(substring_index(c, sep, -1)))
     def slashes(c: Column): Column = length(c) - length(regexp_replace(c, "/", ""))
@@ -210,7 +252,7 @@ object RdfFacts {
       when(c.contains("\"") && !c.contains("^^"), lit(null))
         .when(c.endsWith("/") || slashes(c) === 2, lit(null))
         .when(t.contains("#") && !t.endsWith("#"), upToLast(t, "#"))
-        .when(c.contains("/"), upToLast(t, "/"))
+        .when(t.contains("/"), upToLast(t, "/"))
         .otherwise(lit(null))
     }
 

@@ -127,4 +127,18 @@ class BiasSpec extends AnyFunSuite {
     assert(domains("mayorOf") == "Person")
     assert(ranges("mayorOf") == "Place")
   }
+
+  test("signature inheritance picks the NEAREST declared ancestor") {
+    import spark.implicits._
+    // r -> p1 -> a0; both p1 and a0 declare domains. The nearest (p1) must
+    // win even though a0 sorts first lexicographically.
+    val kb = Seq(
+      Triple("r", "rdfs:subPropertyOf", "p1"),
+      Triple("p1", "rdfs:subPropertyOf", "a0"),
+      Triple("p1", "rdfs:domain", "D1"),
+      Triple("a0", "rdfs:domain", "D0")).toDF()
+    val (domains, _) = Taxonomy.relationSignatures(kb)
+    assert(domains("r") == "D1")
+    assert(domains("p1") == "D1") // own declaration, not inherited
+  }
 }

@@ -56,6 +56,51 @@ class RdfSpec extends AnyFunSuite {
         "\"30\"^^<http://www.w3.org/2001/XMLSchema#int>")))
   }
 
+  test("Turtle: prefixed datatypes expand; bare numeric/boolean literals parse") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+        |ex:Thomas ex:age "30"^^xsd:int ;
+        |  ex:pop 2e6 ;
+        |  ex:height 1.85 ;
+        |  ex:count 42 ;
+        |  ex:active true .
+        |""".stripMargin
+    val got = RdfFacts.loadTurtle(spark, write("d.ttl", ttl))
+      .collect().map(r => (r.getString(1), r.getString(2))).toMap
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert(got("http://ex.org/age") == s""""30"^^<${xsd}int>""")
+    assert(got("http://ex.org/pop") == s""""2e6"^^<${xsd}double>""")
+    assert(got("http://ex.org/height") == s""""1.85"^^<${xsd}decimal>""")
+    assert(got("http://ex.org/count") == s""""42"^^<${xsd}integer>""")
+    assert(got("http://ex.org/active") == s""""true"^^<${xsd}boolean>""")
+  }
+
+  test("N-Triples strict mode rejects malformed lines; lax mode drops them") {
+    val nt =
+      """<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
+        |this line is garbage
+        |""".stripMargin
+    val p = write("bad.nt", nt)
+    assert(RdfFacts.loadNTriples(spark, p).count() == 1)
+    val e = intercept[IllegalArgumentException] {
+      RdfFacts.loadNTriples(spark, p, strict = true)
+    }
+    assert(e.getMessage.contains("garbage"))
+  }
+
+  test("compaction handles the loaders' bracketed datatype form") {
+    import spark.implicits._
+    val (compacted, prefixes) = RdfFacts.compactIris(Seq(
+      ("http://ex.org/people#Luis", "http://ex.org/rel/age",
+        "\"30\"^^<http://www.w3.org/2001/XMLSchema#int>")).toDF("subj", "pred", "obj"))
+    val pm  = prefixes.collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    val row = compacted.collect()(0)
+    // datatype IRI is unbracketed + compacted; namespaces carry no '<'
+    assert(pm.keys.forall(!_.contains("<")), pm.keys.mkString(", "))
+    assert(row.getString(2) == s""""30"^^${pm("http://www.w3.org/2001/XMLSchema#")}:int""")
+  }
+
   test("namespace compaction: deterministic prefixes, reference exceptions") {
     import spark.implicits._
     val triples = Seq(
