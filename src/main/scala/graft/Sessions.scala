@@ -22,6 +22,11 @@ object Sessions {
       // the write path CPU-dense (scales with cores, unlike kernel page
       // traffic)
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // dynamic-partition writes keep Spark's sort-based writer: measured
+      // A/B (2M docs, pinned 4 CPUs) shows 32 concurrent zstd writers per
+      // task are SLOWER than one int-keyed sort + sequential writers
+      .config("spark.sql.maxConcurrentOutputFileWriters",
+        sys.env.getOrElse("GRAFT_CONC_WRITERS", "0"))
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
       // shuffle/spill on tmpfs when present — a single local disk does not

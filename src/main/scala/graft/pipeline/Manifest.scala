@@ -70,13 +70,28 @@ object Manifest {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) files += f
     }
-    files.sortBy(_.getPath.toString).zipWithIndex.map { case (f, i) =>
-      val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-        hadoopConf, f.getPath,
-        org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
-      val rows = footer.getBlocks.stream().mapToLong(_.getRowCount).sum()
-      PartitionStat(i, rows, f.getLen, 0L)
-    }.toSeq
+    // footer reads are tiny metadata IOs but there can be hundreds of
+    // files (buckets × tasks) — read them concurrently, keep path-sorted
+    // deterministic ids (serial reads made the manifest pass scale
+    // BACKWARDS: more cores → more files → more serial driver time)
+    val sorted = files.sortBy(_.getPath.toString).zipWithIndex.toSeq
+    val pool   = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, sorted.size)))
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = sorted.map { case (f, i) =>
+        new java.util.concurrent.Callable[PartitionStat] {
+          def call(): PartitionStat = {
+            val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+              hadoopConf, f.getPath,
+              org.apache.parquet.format.converter.ParquetMetadataConverter.NO_FILTER)
+            val rows = footer.getBlocks.stream().mapToLong(_.getRowCount).sum()
+            PartitionStat(i, rows, f.getLen, 0L)
+          }
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+    } finally pool.shutdown()
   }
 
   private def esc(s: String): String =

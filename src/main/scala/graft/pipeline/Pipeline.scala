@@ -46,6 +46,15 @@ final class Pipeline(
     out
   }
 
+  private def subTimed[A](what: String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_STAGE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val a  = f
+      System.err.println(f"[sub]   $what%-14s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      a
+    }
+
   private def stageImpl(name: String, inputFp: String, partitionCols: Seq[String])(
       compute: => DataFrame): DataFrame = {
     val dir = stageDir(name)
@@ -64,15 +73,19 @@ final class Pipeline(
           bit_xor(xxhash64(df.columns.map(col).toSeq: _*)), lit(0L))
         val w = df.observe(obs, count(lit(1)).as("rows"), hashCol.as("checksum"))
           .write.mode("overwrite")
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-          .parquet(dir)
-        Manifest.write(dir, StageManifest(
-          stage = name,
-          inputFingerprint = inputFp,
-          totalRows = obs.get("rows").asInstanceOf[Long],
-          globalChecksum = obs.get("checksum").asInstanceOf[Long],
-          partitions = Manifest.footerStats(dir, spark.sparkContext.hadoopConfiguration),
-          complete = true))
+        subTimed(s"$name:write") {
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(dir)
+        }
+        subTimed(s"$name:manifest") {
+          Manifest.write(dir, StageManifest(
+            stage = name,
+            inputFingerprint = inputFp,
+            totalRows = obs.get("rows").asInstanceOf[Long],
+            globalChecksum = obs.get("checksum").asInstanceOf[Long],
+            partitions = Manifest.footerStats(dir, spark.sparkContext.hadoopConfiguration),
+            complete = true))
+        }
         spark.read.parquet(dir)
     }
   }
@@ -107,15 +120,21 @@ final class Pipeline(
       // subj/rel/obj ship as dictionary-encoded LONGS through the shuffle
       // (bucket/salt computed before, from the string form) and decode
       // back via broadcast joins on the reduce side, just before the sink
-      val best       = LinkScore.bestCandidates(aliasMap).localCheckpoint(true)
-      val entityDict = LinkScore.entityDictionary(best).localCheckpoint(true)
+      val best       = subTimed("best_cands") { LinkScore.bestCandidates(aliasMap).localCheckpoint(true) }
+      val entityDict = subTimed("entity_dict") { LinkScore.entityDictionary(best).localCheckpoint(true) }
       val relDict    = LinkScore.relDictionary(mentions)
+      // the salt lives only in the partitioning EXPRESSION (never a
+      // materialized column — 8 fewer bytes per shuffled row), and the
+      // narrow encoded rows are sorted by bucket right after the exchange:
+      // the broadcast decode joins preserve the streamed side's order, so
+      // the dynamic-partition write reuses this sort instead of re-sorting
+      // the decoded (string-wide) rows
       val salted = LinkScore.linkEncoded(mentions, best, entityDict, relDict)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
-        .withColumn("salt",
-          pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)).cast("int"))
-        .select("doc_id", "span_idx", "subj_id", "rel_id", "obj_id", "bucket", "salt")
-        .repartition(col("bucket"), col("salt"))
+        .select("doc_id", "span_idx", "subj_id", "rel_id", "obj_id", "bucket")
+        .repartition(col("bucket"),
+          pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)))
+        .sortWithinPartitions("bucket")
       salted
         .join(broadcast(entityDict.select(
           col("entity_id").as("subj_id"), col("canonical").as("subj"))), "subj_id")
