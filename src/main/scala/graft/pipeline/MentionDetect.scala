@@ -22,18 +22,26 @@ object MentionDetect {
     s"^(.+?) ($relAlt) (.+?)\\.$$"
   }
 
-  /** docs(doc_id, spans) → mentions(doc_id, span_idx, subj_alias, rel, obj_alias). */
+  /** docs(doc_id, spans) → mentions(doc_id, span_idx, subj_alias, rel, obj_alias).
+    *
+    * The three capture groups come from ONE regex match per span
+    * ([[graft.expressions.RegexpExtractGroups]], native codegen) — the
+    * built-in `regexp_extract` would re-match the same string once per
+    * group. The groups array is materialized in its own projection below
+    * the filter, so it is evaluated exactly once per row. */
   def mentions(docs: DataFrame): DataFrame = {
     val p = pattern
     docs
       .select(col("doc_id"), posexplode(col("spans")).as(Seq("span_idx", "span")))
       .where(col("span.kind") === "text")
+      .select(col("doc_id"), col("span_idx"),
+        graft.expressions.RegexpExtractGroups(col("span.text"), p).as("__g"))
+      .where(col("__g").isNotNull) // text spans that parse as a mention
       .select(
         col("doc_id"),
         col("span_idx"),
-        regexp_extract(col("span.text"), p, 1).as("subj_alias"),
-        regexp_extract(col("span.text"), p, 2).as("rel"),
-        regexp_extract(col("span.text"), p, 3).as("obj_alias"))
-      .where(col("rel") =!= "") // text spans that parse as a mention
+        col("__g").getItem(0).as("subj_alias"),
+        col("__g").getItem(1).as("rel"),
+        col("__g").getItem(2).as("obj_alias"))
   }
 }

@@ -2,6 +2,7 @@ package graft.tools
 
 import graft.Sessions
 import graft.pipeline.{Corpus, MentionDetect}
+import org.apache.spark.sql.functions._
 
 /** Scratch probe: wall time of isolated pipeline phases at a given
   * parallelism (args: cores nDocs [reps]). */
@@ -22,10 +23,16 @@ object ScaleProbe {
     val docs = Corpus.generate(spark, nDocs, 10000)
     timed("gen")     { docs.toDF().count() }
     timed("mention") { MentionDetect.mentions(docs.toDF()).count() }
-    timed("write")   {
+    for (codec <- Seq("zstd", "snappy", "lz4")) {
       val d = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("/dev/shm"), "probe").toString
-      MentionDetect.mentions(docs.toDF()).write.mode("overwrite").parquet(d)
+      timed(s"write-$codec") {
+        MentionDetect.mentions(docs.toDF()).write.mode("overwrite")
+          .option("compression", codec).parquet(d)
+      }
+      timed(s"read-$codec") { spark.read.parquet(d).agg(count(lit(1))).collect() }
+      println(s"[probe] bytes-$codec " + new java.io.File(d).listFiles
+        .filter(_.getName.endsWith("parquet")).map(_.length).sum / 1048576 + " MiB")
     }
     spark.stop()
   }
