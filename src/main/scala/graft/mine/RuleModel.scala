@@ -150,7 +150,10 @@ object Rule {
    * permutation count is bounded by the real body length (≤ maxDepth−1).
    */
   def equivalent(r1: Rule, r2: Rule): Boolean = {
-    if (r1.length != r2.length) return false
+    // body sizes must match exactly (incl. pseudo-atoms): the bijection
+    // below walks r1's atoms, so without this a rule would compare
+    // equivalent to itself-plus-an-extra-guard
+    if (r1.length != r2.length || r1.body.size != r2.body.size) return false
 
     // substitution state: var-of-r1 → var-of-r2, injective
     def unify(a1: Atom, a2: Atom, m: Map[String, String], used: Set[String])

@@ -1,0 +1,207 @@
+package graft
+
+import graft.kb._
+import graft.mine._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Randomized differential testing: the Catalyst query compiler and the
+ * AMIE metric layer are checked against a brute-force in-memory
+ * evaluator on random small KBs and random rule shapes. Deterministic
+ * seeds (no flakes); the pure-driver properties run hundreds of cases,
+ * the Spark-job properties a dozen (each costs a few jobs).
+ *
+ * The brute-force evaluator enumerates ALL satisfying assignments of a
+ * conjunction — an independent implementation of the semantics the
+ * reference defines recursively (KB.java:1770-3188) and this engine
+ * compiles to joins, so agreement on random inputs is evidence both got
+ * it right, not that they share a bug.
+ */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // ---------- brute-force evaluator ----------
+
+  /** All assignments (var name → value) satisfying the conjunction. */
+  private def bruteBindings(
+      kb: Set[(String, String, String)], atoms: Seq[Atom]): Set[Map[String, String]] = {
+    val (pseudo, positive) = atoms.partition(_.isPseudo)
+    val init: Set[Map[String, String]] = Set(Map.empty)
+    val afterPositive = positive.foldLeft(init) { (acc, a) =>
+      acc.flatMap { env =>
+        kb.flatMap { case (s, p, o) =>
+          def unify(t: Term, v: String, e: Map[String, String]): Option[Map[String, String]] =
+            t match {
+              case Const(c) => if (c == v) Some(e) else None
+              case Var(n)   => e.get(n) match {
+                case Some(x) => if (x == v) Some(e) else None
+                case None    => Some(e + (n -> v))
+              }
+            }
+          unify(a.s, s, env).flatMap(unify(a.p, p, _)).flatMap(unify(a.o, o, _))
+        }
+      }
+    }
+    afterPositive.filter { env =>
+      pseudo.forall { a =>
+        def v(t: Term): String = t match { case Const(c) => c; case Var(n) => env(n) }
+        a.p match {
+          case Const(Atom.DifferentFrom) => v(a.s) != v(a.o)
+          case Const(Atom.Equals)        => v(a.s) == v(a.o)
+          case _                         => true
+        }
+      }
+    }
+  }
+
+  private def bruteCountDistinct(
+      kb: Set[(String, String, String)], vs: Seq[Var], atoms: Seq[Atom]): Long =
+    bruteBindings(kb, atoms).map(env => vs.map(v => env(v.name))).size.toLong
+
+  /** Brute-force ScoredRule mirroring Metrics' documented semantics. */
+  private def bruteScore(kb: Set[(String, String, String)], r: Rule): (Long, Long, Long, Long) = {
+    // stats for the functional-variable direction
+    def funIsSubj(p: String): Boolean = {
+      val facts = kb.filter(_._2 == p)
+      if (facts.isEmpty) true
+      else {
+        val f  = facts.map(_._1).size.toDouble / facts.size
+        val iF = facts.map(_._3).size.toDouble / facts.size
+        f >= iF
+      }
+    }
+    val hv = r.headVars
+    val support = bruteCountDistinct(kb, hv, r.atoms)
+    val body    = bruteCountDistinct(kb, hv, r.body)
+    val fresh   = Var("pcaFresh")
+    val pcaHead = r.head.p match {
+      case Const(p) if funIsSubj(p) => r.head.copy(o = fresh)
+      case Const(_)                 => r.head.copy(s = fresh)
+      case _                        => r.head.copy(o = fresh)
+    }
+    val pca = bruteCountDistinct(kb, hv, r.body :+ pcaHead)
+    val headSize = r.head match {
+      case Atom(_: Var, Const(p), _: Var) => kb.count(_._2 == p).toLong
+      case _                              => bruteCountDistinct(kb, hv, Seq(r.head))
+    }
+    (support, body, pca, headSize)
+  }
+
+  // ---------- random generators (deterministic seed) ----------
+
+  private def randomKB(rng: scala.util.Random, nFacts: Int): Set[(String, String, String)] = {
+    val ents = (0 until 8).map(i => s"e$i")
+    val rels = (0 until 3).map(i => s"r$i")
+    (0 until nFacts).map { _ =>
+      (ents(rng.nextInt(ents.size)), rels(rng.nextInt(rels.size)), ents(rng.nextInt(ents.size)))
+    }.toSet
+  }
+
+  private val x = Var("x"); private val y = Var("y"); private val z = Var("z")
+
+  /** Random rule shapes the miner scores: closed 2/3-atom, dangling
+    * NON-head variable, constant-carrying, instantiated head (fallback
+    * scoring path), pseudo-guarded. Head variables are always bound by
+    * the body — Metrics' scoring contract (only closed-on-head-vars
+    * rules reach scoreAll; open search nodes are never scored). */
+  private def randomRule(rng: scala.util.Random): Rule = {
+    def rel() = Const(s"r${rng.nextInt(3)}")
+    def ent() = Const(s"e${rng.nextInt(8)}")
+    val head  = Atom(x, rel(), y)
+    rng.nextInt(6) match {
+      case 0 => // closed 2-atom, either orientation
+        Rule(head, List(if (rng.nextBoolean()) Atom(x, rel(), y) else Atom(y, rel(), x)))
+      case 1 => // closed 3-atom chain, random orientations
+        def flip(a: Atom) = if (rng.nextBoolean()) a else Atom(a.o, a.p, a.s)
+        Rule(head, List(flip(Atom(x, rel(), z)), flip(Atom(z, rel(), y))))
+      case 2 => // dangling non-head variable z (search-node shape)
+        Rule(head, List(Atom(x, rel(), y), Atom(y, rel(), z)))
+      case 3 => // constant in body, still closed on head vars
+        Rule(head, List(Atom(x, rel(), y), Atom(x, rel(), ent())))
+      case 4 => // instantiated head object (O_I output; fallback path when
+        // the functional side flips)
+        Rule(Atom(x, rel(), ent()), List(Atom(x, rel(), z), Atom(z, rel(), x)))
+      case _ => // 3-atom chain + differentFrom guard
+        Rule(head, List(Atom(x, rel(), z), Atom(z, rel(), y),
+          Atom(x, Const(Atom.DifferentFrom), z)))
+    }
+  }
+
+  private def toDF(kb: Set[(String, String, String)]) = {
+    import spark.implicits._
+    kb.toSeq.map(t => Triple(t._1, t._2, t._3)).toDF("subj", "pred", "obj")
+  }
+
+  // ---------- Spark-job properties (few cases, each costs jobs) ----------
+
+  test("metrics agree with brute force on random KBs and rule shapes") {
+    val rng = new scala.util.Random(7)
+    for (i <- 1 to 12) {
+      val kb  = randomKB(rng, 16 + rng.nextInt(16))
+      val r   = randomRule(rng)
+      val df  = toDF(kb)
+      val m   = new Metrics(df, KGStats.compute(df))
+      val s   = m.score(r)
+      val (support, body, pca, hs) = bruteScore(kb, r)
+      withClue(s"case $i rule=$r kb=${kb.toSeq.sorted}: ") {
+        assert(s.support == support)
+        assert(s.bodySize == body)
+        assert(s.pcaBodySize == pca)
+        assert(s.headCoverage == (if (hs == 0) 0.0 else support.toDouble / hs))
+        assert(s.stdConfidence == (if (body == 0) 0.0 else support.toDouble / body))
+        assert(s.pcaConfidence == (if (pca == 0) 0.0 else support.toDouble / pca))
+      }
+    }
+  }
+
+  test("query compiler agrees with brute-force enumeration on random conjunctions") {
+    val rng = new scala.util.Random(11)
+    for (i <- 1 to 8) {
+      val kb = randomKB(rng, 20)
+      val r  = randomRule(rng)
+      val df = toDF(kb)
+      val vs = r.allVars
+      val got = QueryBuilder.selectDistinct(df, vs, r.atoms)
+        .collect().map(row => vs.indices.map(row.getString).toList).toSet
+      val want = bruteBindings(kb, r.atoms).map(env => vs.map(v => env(v.name)).toList)
+      withClue(s"case $i rule=$r: ") { assert(got == want) }
+    }
+  }
+
+  // ---------- pure-driver properties (hundreds of cases) ----------
+
+  test("canonical form is invariant under variable renaming and body permutation") {
+    val rng = new scala.util.Random(13)
+    for (_ <- 1 to 300) {
+      val r = randomRule(rng)
+      // random injective variable renaming
+      val names  = r.allVars.map(_.name)
+      val images = rng.shuffle(List("a", "b", "c", "d")).take(names.size)
+      val ren    = names.zip(images).toMap
+      def sub(t: Term): Term = t match { case Var(n) => Var(ren(n)); case c => c }
+      def subA(a: Atom)      = Atom(sub(a.s), if (a.isPseudo) a.p else sub(a.p), sub(a.o))
+      val r2 = Rule(subA(r.head), rng.shuffle(r.body).map(subA))
+      assert(r.canonical == r2.canonical, s"$r vs $r2")
+      assert(Rule.equivalent(r, r2), s"$r vs $r2")
+    }
+  }
+
+  test("equivalent(r1, r2) iff canonical forms match, on random rule pairs") {
+    val rng = new scala.util.Random(17)
+    for (i <- 1 to 400) {
+      val r1 = randomRule(rng)
+      // every 4th pair is an alpha-renamed permutation of r1 → the
+      // positive branch of the iff is exercised, not just the negative
+      val r2 =
+        if (i % 4 == 0) {
+          val ren = r1.allVars.map(_.name).zip(Seq("p", "q", "r")).toMap
+          def sub(t: Term): Term = t match { case Var(n) => Var(ren(n)); case c => c }
+          Rule(Atom(sub(r1.head.s), r1.head.p, sub(r1.head.o)),
+            rng.shuffle(r1.body).map(a => Atom(sub(a.s), a.p, sub(a.o))))
+        } else randomRule(rng)
+      val eq = Rule.equivalent(r1, r2)
+      assert(eq == (r1.canonical == r2.canonical), s"$r1 vs $r2")
+      if (i % 4 == 0) assert(eq)
+    }
+  }
+}
