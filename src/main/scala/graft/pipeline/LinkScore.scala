@@ -63,30 +63,37 @@ object LinkScore {
     best.select(col("canonical")).distinct()
       .withColumn("entity_id", row_number().over(Window.orderBy("canonical")).cast("long"))
 
-  /** Relation → dense id (a handful of rows). */
-  def relDictionary(mentions: DataFrame): DataFrame =
-    mentions.select(col("rel")).distinct()
-      .withColumn("rel_id", row_number().over(Window.orderBy("rel")).cast("long"))
+  /**
+   * alias → (canonical, entity_id): the persisted encode/decode catalog
+   * of the graph table (AMIE itself stores its KB int-encoded —
+   * kb/src/main/java/amie/data/KB.java:40-72; at 10¹²-doc scale the
+   * string forms live ONLY in this vocabulary-sized dictionary, never in
+   * the fact rows). One row per alias; `select(entity_id, canonical)
+   * .distinct()` is the decode side.
+   */
+  def aliasDictionary(best: DataFrame): DataFrame =
+    best.join(entityDictionary(best), "canonical")
+      .select(col("alias"), col("canonical"), col("entity_id"))
 
   /**
-   * [[link]] with subj/rel/obj DICTIONARY-ENCODED to longs (subject kept
-   * as a string column too, for the storage-bucket hash). The caller
-   * shuffles the narrow (id) row and decodes AFTER the exchange with
-   * broadcast joins — on the bandwidth-limited materialize shuffle this
-   * replaces three per-row strings with three fixed 8-byte longs.
+   * [[link]] with subject/object DICTIONARY-ENCODED to longs (subject
+   * kept as a string column too, for the storage-bucket hash; the
+   * relation keeps its string form — relation cardinality is tiny, the
+   * parquet sink dictionary-encodes it to ~1 byte/row, and a physical
+   * `pred` column is what lets downstream mining scans push relation
+   * filters to the parquet reader). The caller shuffles the narrow row
+   * — on the bandwidth-limited materialize shuffle the two entity
+   * strings become fixed 8-byte longs and are never decoded again:
+   * decode happens on READ, via [[graft.pipeline.Pipeline.materialized]].
    */
-  def linkEncoded(
-      mentions: DataFrame, bestCands: DataFrame,
-      entityDict: DataFrame, relDict: DataFrame): DataFrame = {
-    val best = bestCands.join(entityDict, "canonical")
-    val subj = best.select(col("alias").as("subj_alias"),
+  def linkEncoded(mentions: DataFrame, aliasDict: DataFrame): DataFrame = {
+    val subj = aliasDict.select(col("alias").as("subj_alias"),
       col("entity_id").as("subj_id"), col("canonical").as("subj"))
-    val obj  = best.select(col("alias").as("obj_alias"), col("entity_id").as("obj_id"))
+    val obj  = aliasDict.select(col("alias").as("obj_alias"), col("entity_id").as("obj_id"))
     mentions
       .join(broadcast(subj), "subj_alias")
       .join(broadcast(obj), "obj_alias")
-      .join(broadcast(relDict), "rel")
       .select(col("doc_id"), col("span_idx"),
-        col("subj"), col("subj_id"), col("rel_id"), col("obj_id"))
+        col("subj"), col("subj_id"), col("rel").as("pred"), col("obj_id"))
   }
 }

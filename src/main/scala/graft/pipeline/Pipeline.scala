@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
  */
 final class Pipeline(
     spark: SparkSession,
-    workDir: String,
+    val workDir: String,
     nBuckets: Int = 32,
     saltBits: Int = 3) {
 
@@ -34,6 +34,22 @@ final class Pipeline(
   var runsSkipped: List[String]  = Nil
 
   private def stageDir(name: String) = s"$workDir/$name"
+
+  // Manifest writes (footer reads + JSON) are driver-only metadata work —
+  // they overlap the NEXT stage's compute instead of serializing after
+  // each write job. Crash-safety is unchanged: a stage missing its
+  // manifest simply recomputes on restart (deterministically), and a
+  // single-thread pool keeps manifest writes ordered. run() awaits all
+  // pending manifests before returning.
+  private val manifestPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+    (r: Runnable) => { val t = new Thread(r, "graft-manifest"); t.setDaemon(true); t })
+  private val pendingManifests =
+    scala.collection.mutable.ArrayBuffer[java.util.concurrent.Future[_]]()
+
+  private def awaitManifests(): Unit = synchronized {
+    pendingManifests.foreach(_.get())
+    pendingManifests.clear()
+  }
 
   /** Run one resumable stage: skip when a complete manifest matches the
     * input fingerprint, else compute → write parquet → write manifest. */
@@ -77,14 +93,21 @@ final class Pipeline(
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
             .parquet(dir)
         }
-        subTimed(s"$name:manifest") {
-          Manifest.write(dir, StageManifest(
-            stage = name,
-            inputFingerprint = inputFp,
-            totalRows = obs.get("rows").asInstanceOf[Long],
-            globalChecksum = obs.get("checksum").asInstanceOf[Long],
-            partitions = Manifest.footerStats(dir, spark.sparkContext.hadoopConfiguration),
-            complete = true))
+        val rows     = obs.get("rows").asInstanceOf[Long]
+        val checksum = obs.get("checksum").asInstanceOf[Long]
+        val hconf    = spark.sparkContext.hadoopConfiguration
+        synchronized {
+          pendingManifests += manifestPool.submit(new Runnable {
+            def run(): Unit = subTimed(s"$name:manifest") {
+              Manifest.write(dir, StageManifest(
+                stage = name,
+                inputFingerprint = inputFp,
+                totalRows = rows,
+                globalChecksum = checksum,
+                partitions = Manifest.footerStats(dir, hconf),
+                complete = true))
+            }
+          })
         }
         spark.read.parquet(dir)
     }
@@ -107,48 +130,67 @@ final class Pipeline(
 
     // downstream stages are deterministic functions of the docs input, so
     // the docs fingerprint + a stage tag is their resume identity — no
-    // extra fingerprint pass over intermediate data
-    val aliasFp  = docsFp + "|aliases"
-    val aliasMap = stage("alias_map", aliasFp)(Canonicalize.aliasMap(mentions))
+    // extra fingerprint pass over intermediate data.
+    //
+    // The stage persists the full alias→(canonical, entity_id) catalog:
+    // CC canonicalization, link-score re-ranking (bestCandidates) and the
+    // dictionary id assignment are all vocabulary-sized driver-light
+    // passes, and the graph table stores dictionary-encoded entity ids
+    // (the only sane layout at 10¹² docs — AMIE's own KB is int-encoded),
+    // so the decode catalog must survive with the table. One stage, not
+    // three: each extra vocabulary-sized stage costs fixed write+manifest
+    // +read latency that does not shrink with cores.
+    val aliasFp   = docsFp + "|aliases"
+    val aliasDict = stage("alias_map", aliasFp) {
+      LinkScore.aliasDictionary(
+        LinkScore.bestCandidates(Canonicalize.aliasMap(mentions)))
+    }
 
     // link scoring is fused into the materialize stage: the linked stream
     // is cheap to recompute from (mentions, alias_map) — persisting it
     // would double the heaviest I/O for no resume value
-    stage("triples", docsFp + "|" + aliasFp, partitionCols = Seq("bucket")) {
-      // the materialize exchange is the pipeline's dominant shuffle and
-      // this VM (like any node) is memory-bandwidth-bound on row churn:
-      // subj/rel/obj ship as dictionary-encoded LONGS through the shuffle
-      // (bucket/salt computed before, from the string form) and decode
-      // back via broadcast joins on the reduce side, just before the sink
-      val best       = subTimed("best_cands") { LinkScore.bestCandidates(aliasMap).localCheckpoint(true) }
-      val entityDict = subTimed("entity_dict") { LinkScore.entityDictionary(best).localCheckpoint(true) }
-      val relDict    = LinkScore.relDictionary(mentions)
-      // the salt lives only in the partitioning EXPRESSION (never a
-      // materialized column — 8 fewer bytes per shuffled row), and the
-      // narrow encoded rows are sorted by bucket right after the exchange:
-      // the broadcast decode joins preserve the streamed side's order, so
-      // the dynamic-partition write reuses this sort instead of re-sorting
-      // the decoded (string-wide) rows
-      val salted = LinkScore.linkEncoded(mentions, best, entityDict, relDict)
+    val out = stage("triples", docsFp + "|" + aliasFp, partitionCols = Seq("bucket")) {
+      // The materialize exchange is the pipeline's dominant shuffle and
+      // this VM (like any node) is bandwidth-bound on row churn: subject
+      // and object ship as dictionary-encoded LONGS (bucket/salt computed
+      // before the exchange, from the string form) and are NEVER decoded
+      // — the sink keeps the ids, decode happens on read via
+      // [[materialized]]. The relation stays a string: tiny cardinality
+      // (parquet dictionary-encodes it away) and mining scans get
+      // relation-filter pushdown on a physical column. The salt lives
+      // only in the partitioning EXPRESSION (never a materialized column
+      // — 8 fewer bytes per shuffled row); rows are sorted by bucket
+      // after the exchange so the dynamic-partition writer reuses the
+      // sort.
+      LinkScore.linkEncoded(mentions, aliasDict)
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
-        .select("doc_id", "span_idx", "subj_id", "rel_id", "obj_id", "bucket")
+        .select(col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
+          col("subj_id"), col("pred"), col("obj_id"), col("bucket"))
         .repartition(col("bucket"),
-          pmod(xxhash64(col("doc_id"), col("span_idx")), lit(1 << saltBits)))
+          pmod(xxhash64(col("src_doc"), col("src_span")), lit(1 << saltBits)))
         .sortWithinPartitions("bucket")
-      salted
-        .join(broadcast(entityDict.select(
-          col("entity_id").as("subj_id"), col("canonical").as("subj"))), "subj_id")
-        .join(broadcast(entityDict.select(
-          col("entity_id").as("obj_id"), col("canonical").as("obj"))), "obj_id")
-        .join(broadcast(relDict.select(col("rel_id"), col("rel").as("pred"))), "rel_id")
-        .select(
-          col("subj"), col("pred"), col("obj"),
-          col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
-          col("bucket"))
     }
+    awaitManifests()
+    out
+  }
+
+  /** The emitted graph, entity ids decoded — (subj, pred, obj, src_doc,
+    * src_span, bucket). Two broadcast joins against the vocabulary-sized
+    * entity dictionary; relation filters and bucket pruning on the
+    * decoded view still reach the parquet scan because `pred` and
+    * `bucket` are physical columns of the encoded table. */
+  def materialized(): DataFrame = {
+    val dict = spark.read.parquet(stageDir("alias_map"))
+      .select(col("entity_id"), col("canonical")).distinct()
+    spark.read.parquet(stageDir("triples"))
+      .join(broadcast(dict.select(col("entity_id").as("subj_id"),
+        col("canonical").as("subj"))), "subj_id")
+      .join(broadcast(dict.select(col("entity_id").as("obj_id"),
+        col("canonical").as("obj"))), "obj_id")
+      .select(col("subj"), col("pred"), col("obj"),
+        col("src_doc"), col("src_span"), col("bucket"))
   }
 
   /** The emitted graph as a plain (subj, pred, obj) KB for rule mining. */
-  def triples(): DataFrame =
-    spark.read.parquet(stageDir("triples")).select("subj", "pred", "obj")
+  def triples(): DataFrame = materialized().select("subj", "pred", "obj")
 }

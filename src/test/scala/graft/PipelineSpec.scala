@@ -131,8 +131,11 @@ class PipelineSpec extends AnyFunSuite {
   test("materialized layout is hash-bucketed by subject") {
     val docs = Corpus.generate(spark, 300, V)
     val dir  = Files.createTempDirectory("graft-layout").toString
-    new Pipeline(spark, dir, nBuckets = 4).run(docs)
-    val t = spark.read.parquet(s"$dir/triples")
+    val p    = new Pipeline(spark, dir, nBuckets = 4)
+    p.run(docs)
+    // the stored table is entity-id-encoded; the bucket is the hash of
+    // the DECODED subject (so consumers can compute it from entity names)
+    val t = p.materialized()
     val bad = t.where(pmod(xxhash64($"subj"), lit(4)).cast("int") =!= $"bucket").count()
     assert(bad == 0)
     // directory-partitioned: bucket dirs exist → later scans prune on bucket

@@ -13,26 +13,32 @@ import java.nio.file.Files
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
-  private lazy val workDir: String = {
+  private lazy val pipeline: Pipeline = {
     val dir = Files.createTempDirectory("graft-plan").toString
-    new Pipeline(spark, dir, nBuckets = 4)
-      .run(Corpus.generate(spark, 500, 50), inputFp = Some("plan:500:50"))
-    dir
+    val p   = new Pipeline(spark, dir, nBuckets = 4)
+    p.run(Corpus.generate(spark, 500, 50), inputFp = Some("plan:500:50"))
+    p
   }
+  private lazy val workDir: String = pipeline.workDir
 
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("predicate pushdown: pred/subj filters reach the parquet scan") {
-    val t  = spark.read.parquet(s"$workDir/triples")
-    val df = t.where(col("pred") === "livesIn" && col("subj") === "E 1")
-      .select("obj")
+  test("predicate pushdown: relation filter reaches the parquet scan through the decoded view") {
+    // `pred` is a physical column of the encoded table, so a relation
+    // filter on the DECODED view must still be pushed to the scan — the
+    // property that keeps per-relation mining reads from scanning the
+    // whole graph table
+    val df = pipeline.materialized()
+      .where(col("pred") === "livesIn").select("subj", "obj")
     val p = df.queryExecution.sparkPlan.toString
     assert(p.contains("PushedFilters") &&
       p.contains("IsNotNull(pred)") && p.contains("EqualTo(pred,livesIn)"),
       s"filters not pushed:\n$p")
-    // column pruning: scan schema must not include lineage columns
-    assert(!p.contains("src_doc") || p.contains("ReadSchema: struct<obj:string"),
+    // column pruning: the fact-table scan must not read lineage columns
+    val factScan = p.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("subj_id")).mkString
+    assert(factScan.nonEmpty && !factScan.contains("src_doc"),
       s"scan reads more columns than the projection needs:\n$p")
   }
 
@@ -54,7 +60,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("stats pass is a single hash aggregation inside whole-stage codegen") {
-    val t  = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val t  = pipeline.triples()
     val df = KGStats.statsDF(t)
     df.collect() // finalize the adaptive plan so codegen spans are visible
     val p = df.queryExecution.explainString(
@@ -83,7 +89,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("fused rule scoring is one plan: body scanned once, markers broadcastable") {
-    val t = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val t = pipeline.triples()
     val m = new graft.mine.Metrics(t, KGStats.compute(t))
     val r = graft.mine.Rule(
       Atom(Var("x"), Const("livesIn"), Var("c")),
@@ -96,7 +102,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("conjunctive query compiles to one declarative join plan (no cartesian)") {
-    val t = spark.read.parquet(s"$workDir/triples").select("subj", "pred", "obj")
+    val t = pipeline.triples()
     val df = QueryBuilder.bindings(t, Seq(
       Atom(Var("x"), Const("worksAt"), Var("t")),
       Atom(Var("t"), Const("isLocatedIn"), Var("c"))))
