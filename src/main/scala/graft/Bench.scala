@@ -94,26 +94,27 @@ object Bench {
     val vocab = 10000
 
     // ---- part 1: pipeline throughput at N and 4N (same input) ----
-    // 2 JVM rounds × per-level in-JVM reps: this VM shows CPU-steal
-    // spikes (±15% run-to-run) and the per-level minimum over all
-    // measurements is the stable estimator of the job's true cost.
-    // Rep counts are per-level because the JIT transient is: measured
-    // with -XX:+CITime, each fresh JVM spends ~55 CPU-seconds in C2 on
-    // the pipeline's code paths. The N-level's reps are ~3.4× longer, so
-    // it reaches the compiled steady state within its first timed rep
-    // (its rep times are flat: 60.6/61.1/58.9 s at 2M docs), while the
-    // 4N-level keeps improving through rep 3-4 (21.6/19.3/18.6 s).
-    // 2 reps at N vs 4 at 4N gives both levels comparable steady-state
-    // wall time before the minimum is taken; the minimum estimator is
-    // rep-count-insensitive once the floor is reached.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    // JVM ROUNDS × per-level in-JVM reps. Two noise sources shape this
+    // design (both measured, see BASELINE.md):
+    //  - JIT transient: -XX:+CITime shows ~55 CPU-seconds of C2 per
+    //    fresh JVM. The N-level's reps are ~3× longer, so it reaches the
+    //    compiled steady state by rep 2; the 4N-level needs ~3 short
+    //    reps. Per-level rep counts give both levels steady-state
+    //    samples before aggregation.
+    //  - Host ambient drift: identical reps swing ±15-40% in BOTH wall
+    //    and process-CPU over minutes (shared-host neighbors). A ratio
+    //    of two measurements from different windows is therefore
+    //    noise-dominated in either direction.
+    // Estimators: each round is a PAIRED (N, 4N) comparison, adjacent in
+    // time, so common-mode drift largely cancels inside a round; the
+    // headline efficiency is the MEDIAN of per-round ratios (robust to
+    // one bad round). The per-level minima (each level's best observed
+    // window — the unperturbed floor) are also reported, as the
+    // throughput headline and the floor-ratio cross-check.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val innerRepsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS", "2").toInt
-    val innerReps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS_4N", "5").toInt
+    val innerReps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS_4N", "3").toInt
     val scaling = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")) "" else {
-      // INTERLEAVE the two levels across reps (N, 4N, N, 4N …) and take
-      // the per-level minimum: the efficiency is a ratio of two
-      // measurements minutes apart, so a steal spike during either level
-      // alone skews it — interleaving decorrelates the windows
       val pairs = (1 to reps).map { _ =>
         (pipelineRun(n, docs, vocab, innerRepsN),
           pipelineRun(4 * n, docs, vocab, innerReps4N))
@@ -122,12 +123,18 @@ object Bench {
       val t4 = pairs.head._2._1
       val s1 = pairs.map(_._1._2).min
       val s4 = pairs.map(_._2._2).min
+      val roundEffs = pairs.map { case ((_, sn), (_, s4n)) => sn / s4n / 4.0 }
+      val effMedian = roundEffs.sorted.apply(roundEffs.size / 2)
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
-      val eff   = (tps4N / tpsN) / 4.0
+      val effFloor = (tps4N / tpsN) / 4.0
+      val roundsJson = pairs.zip(roundEffs).map { case (((_, sn), (_, s4n)), e) =>
+        f"""{"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
+      }.mkString("[", ",", "]")
       f""""pipeline":{"docs":$docs,"triples":$t4,"cores_n":$n,"cores_4n":${4 * n},""" +
         f""""sec_n":$s1%.3f,"sec_4n":$s4%.3f,"tps_n":$tpsN%.1f,"tps_4n":$tps4N%.1f,""" +
-        f""""scaling_efficiency":$eff%.3f},"""
+        f""""rounds":$roundsJson,"scaling_efficiency_floor":$effFloor%.3f,""" +
+        f""""scaling_efficiency":$effMedian%.3f},"""
     }
 
     // ---- part 2: operator queries at the driver's SF dir ----

@@ -21,7 +21,8 @@ object Sessions {
       // task CPU for ~2× smaller files is the right default, and it keeps
       // the write path CPU-dense (scales with cores, unlike kernel page
       // traffic)
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_PARQUET_CODEC", "zstd"))
       // dynamic-partition writes keep Spark's sort-based writer: measured
       // A/B (2M docs, pinned 4 CPUs) shows 32 concurrent zstd writers per
       // task are SLOWER than one int-keyed sort + sequential writers

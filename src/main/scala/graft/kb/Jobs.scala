@@ -1,0 +1,43 @@
+package graft.kb
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+/**
+ * Chunked-job execution for the mining layer: many single-row aggregate
+ * plans are unioned into bounded-width jobs (Catalyst planning cost
+ * grows superlinearly with union width), and the chunk jobs are
+ * submitted CONCURRENTLY from a small driver pool.
+ *
+ * Concurrent submission matters twice: per-job driver latency
+ * (planning, scheduling, result fetch) overlaps instead of summing —
+ * the BFS miner runs dozens of such jobs per level — and on a cluster
+ * concurrent jobs keep executors busy while the driver plans the next
+ * chunk. Spark supports concurrent actions from one session; result
+ * rows are tagged with ids, so completion order is irrelevant.
+ */
+private[graft] object Jobs {
+
+  /** Union `parts` into jobs of ≤ `chunk` plans and collect all jobs,
+    * up to `parallelism` in flight. Returns all rows (order unspecified
+    * across chunks — callers key on embedded ids). */
+  def collectChunked(parts: Seq[DataFrame], chunk: Int, parallelism: Int = 4): Seq[Row] = {
+    val chunks = parts.grouped(chunk).toSeq
+    if (chunks.isEmpty) return Nil
+    if (chunks.size == 1) return chunks.head.reduce(_ union _).collect().toSeq
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, chunks.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-jobs"); t.setDaemon(true); t
+      })
+    try {
+      import scala.jdk.CollectionConverters._
+      val tasks = chunks.map { c =>
+        new java.util.concurrent.Callable[Seq[Row]] {
+          def call(): Seq[Row] = c.reduce(_ union _).collect().toSeq
+        }
+      }
+      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+    } finally pool.shutdown()
+  }
+}

@@ -63,6 +63,12 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       QueryBuilder.countDistinctBindings(triples, r.headVars, Seq(r.head))
   }
 
+  /** True when [[headSize]] needs a Spark job (constant-carrying head). */
+  private def headSizeNeedsQuery(r: Rule): Boolean = r.head match {
+    case Atom(_: Var, Const(_), _: Var) => false
+    case _                              => r.headVars.nonEmpty
+  }
+
   import Metrics.JobChunk
 
   /**
@@ -183,13 +189,11 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       }
     }
 
-    fusedPlans.grouped(JobChunk)
-      .flatMap(chunk => chunk.reduce(_ union _).collect())
+    Jobs.collectChunked(fusedPlans.toSeq, JobChunk)
       .foreach(row =>
         counts(row.getInt(0)) = (row.getLong(1), row.getLong(2), row.getLong(3)))
 
-    parts.grouped(JobChunk).toSeq
-      .flatMap(chunk => chunk.reduce(_ union _).collect())
+    Jobs.collectChunked(parts.toSeq, JobChunk)
       .groupBy(_.getInt(0)).foreach { case (i, rows) =>
         val m = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
         counts(i) = (
@@ -198,9 +202,20 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
           m.getOrElse("pca", 0L))
       }
 
+    // constant-carrying heads need a count query for headSize — batched
+    // and chunked like every other measurement (one blocking job per
+    // O_I rule would reintroduce the per-candidate query storm)
+    val headSizes: Map[Int, Long] = {
+      val hsParts = rules.zipWithIndex.collect {
+        case (r, i) if headSizeNeedsQuery(r) => agg1(i, "hs", r.headVars, Seq(r.head))
+      }
+      Jobs.collectChunked(hsParts, JobChunk)
+        .map(row => row.getInt(0) -> row.getLong(2)).toMap
+    }
+
     rules.zipWithIndex.map { case (r, i) =>
       val (support, body, pca) = counts(i)
-      val hs = headSize(r)
+      val hs = headSizes.getOrElse(i, headSize(r))
       ScoredRule(
         rule = r,
         support = support,

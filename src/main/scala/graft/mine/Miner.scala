@@ -229,8 +229,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       df.groupBy(col(candCol)).agg(cd.as("supp"))
         .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
     }
-    val counted = parts.grouped(Miner.TemplateChunk).toSeq
-      .flatMap(chunk => chunk.reduce(_ union _).collect())
+    val counted = Jobs.collectChunked(parts.toSeq, Miner.TemplateChunk)
 
     val children  = scala.collection.mutable.ArrayBuffer[Node]()
     val reguarded = scala.collection.mutable.ArrayBuffer[(Rule, Double)]() // needs support re-measure
@@ -299,8 +298,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         QueryBuilder.bindings(kb, r.atoms).agg(cd.as("supp"))
           .select(lit(i).as("id"), col("supp"))
       }
-      val supps = parts.grouped(Metrics.JobChunk).toSeq
-        .flatMap(chunk => chunk.reduce(_ union _).collect())
+      val supps = Jobs.collectChunked(parts.toSeq, Metrics.JobChunk)
         .map(row => row.getInt(0) -> row.getLong(1)).toMap
       reguarded.zipWithIndex.foreach { case ((r, floor), i) =>
         val supp = supps.getOrElse(i, 0L)
@@ -364,8 +362,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         .groupBy(col(v.name)).agg(cd.as("supp"))
         .select(lit(taskId).as("task_id"), col(v.name).as("c"), col("supp"))
     }
-    val counted = parts.grouped(Metrics.JobChunk).toSeq
-      .flatMap(chunk => chunk.reduce(_ union _).collect())
+    val counted = Jobs.collectChunked(parts.toSeq, Metrics.JobChunk)
 
     val out = scala.collection.mutable.ArrayBuffer[Node]()
     for (row <- counted) {

@@ -36,31 +36,76 @@ object Canonicalize {
   }
 
   /**
-   * alias → canonical-entity map.
+   * alias → canonical-entity map. Scale-adaptive, mirroring
+   * [[ConnectedComponents.run]]'s two regimes:
    *
-   * Key contraction first: every blocking-key group is a star, so one
-   * `groupBy(key).min(alias)` collapses each key to alias→representative
-   * edges — this removes the key nodes, halves the graph, and cuts the
-   * diameter before the generic CC loop runs (each saved CC iteration is
-   * a full shuffle round at 10⁹-alias scale). Connectivity is preserved
-   * exactly: two aliases share a key iff both link to that key's rep.
+   * - vocabulary ≤ `driverThreshold`: ONE data-sized job extracts the
+   *   distinct aliases, then blocking-key union-find runs on the driver
+   *   (the distinct-alias set is vocabulary-sized by construction — the
+   *   distributed pipeline below would spend ~20 sub-second shuffle jobs
+   *   on a 30k-row graph, and per-job scheduling latency does not shrink
+   *   with cores);
+   * - above it: key contraction first — every blocking-key group is a
+   *   star, so one `groupBy(key).min(alias)` collapses each key to
+   *   alias→representative edges (removes the key nodes, halves the
+   *   graph, cuts the diameter), then the large-star/small-star CC loop.
+   *   Connectivity is preserved exactly: two aliases share a key iff
+   *   both link to that key's rep.
    */
-  def aliasMap(mentions: DataFrame): DataFrame = {
-    // materialize once: the alias-key edge set is reused three times below
-    // (reps, contraction join, singleton fallback) and is vocabulary-sized
-    val edges = aliasKeyEdges(mentions).localCheckpoint(true) // (src = alias, dst = key)
-    val reps  = edges.groupBy("dst").agg(min("src").as("rep"))
-    val contracted = edges.join(reps, "dst")
-      .where(col("src") =!= col("rep"))
-      .select(col("src"), col("rep").as("dst"))
-    val cc = ConnectedComponents.run(contracted)
-    val repr = cc.groupBy("component").agg(min("id").as("canonical"))
-    val mapped = cc.join(repr, "component")
-      .select(col("id").as("alias"), col("canonical"))
-    // aliases whose key groups were singletons never reach CC — they are
-    // their own canonical form
-    val all = edges.select(col("src").as("alias")).distinct()
-    all.join(mapped, Seq("alias"), "left")
-      .select(col("alias"), coalesce(col("canonical"), col("alias")).as("canonical"))
+  def aliasMap(mentions: DataFrame, driverThreshold: Int = 1 << 20): DataFrame = {
+    val spark = mentions.sparkSession
+    val aliases = mentions
+      .select(explode(array(col("subj_alias"), col("obj_alias"))).as("alias"))
+      .distinct().localCheckpoint(true)
+    if (aliases.count() <= driverThreshold) {
+      import spark.implicits._
+      val arr = aliases.collect().map(_.getString(0))
+      // union-find keyed by the same two blocking keys as the
+      // distributed path; result is order-independent (component
+      // canonical = min alias of the final component)
+      val parent = scala.collection.mutable.Map[String, String]()
+      def find(x: String): String = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      def union(a: String, b: String): Unit = {
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(rb) = ra
+      }
+      val keyAnchor = scala.collection.mutable.Map[String, String]()
+      for (a <- arr) {
+        val k1 = "k1:" + a.toLowerCase
+        val k2 = "k2:" + a.toLowerCase.replaceAll("[ _]", "")
+        for (k <- Seq(k1, k2)) keyAnchor.get(k) match {
+          case Some(anchor) => union(anchor, a)
+          case None         => keyAnchor(k) = a
+        }
+      }
+      val canonical = arr.groupBy(find).map { case (root, members) =>
+        root -> members.min
+      }
+      spark.createDataset(arr.toIndexedSeq.map(a => (a, canonical(find(a)))))
+        .toDF("alias", "canonical")
+    } else {
+      // materialize once: the alias-key edge set is reused below (reps,
+      // contraction join, singleton fallback) and is vocabulary-sized
+      val edges = aliasKeyEdges(mentions).localCheckpoint(true) // (src = alias, dst = key)
+      val reps  = edges.groupBy("dst").agg(min("src").as("rep"))
+      val contracted = edges.join(reps, "dst")
+        .where(col("src") =!= col("rep"))
+        .select(col("src"), col("rep").as("dst"))
+      val cc = ConnectedComponents.run(contracted)
+      val repr = cc.groupBy("component").agg(min("id").as("canonical"))
+      val mapped = cc.join(repr, "component")
+        .select(col("id").as("alias"), col("canonical"))
+      // aliases whose key groups were singletons never reach CC — they are
+      // their own canonical form
+      val all = edges.select(col("src").as("alias")).distinct()
+      all.join(mapped, Seq("alias"), "left")
+        .select(col("alias"), coalesce(col("canonical"), col("alias")).as("canonical"))
+    }
   }
 }

@@ -21,6 +21,19 @@ object PipelineLevel {
     val Array(cores, nDocs, nEntities, reps) = args.map(_.toLong)
     val spark = Sessions.local(cores.toInt, s"graft-level-$cores")
     spark.sparkContext.setLogLevel("ERROR")
+    if (sys.env.contains("GRAFT_JOB_TIMING")) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private var lastEnd = 0L
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val gap = if (lastEnd == 0) 0 else j.time - lastEnd
+          System.err.println(s"[job] start ${j.jobId} gap=${gap}ms")
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          lastEnd = j.time
+          System.err.println(s"[job] end   ${j.jobId}")
+        }
+      })
+    }
     val base = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm" else "/tmp"
     val dir = java.nio.file.Files.createTempDirectory(
       java.nio.file.Paths.get(base), s"graft-level$cores").toString
@@ -35,9 +48,13 @@ object PipelineLevel {
       val secs = (1 to reps.toInt).map { r =>
         val t0 = System.nanoTime()
         val c0 = osBean.getProcessCpuTime
-        triples = new Pipeline(spark, s"$dir/main$r", nBuckets = 32)
+        new Pipeline(spark, s"$dir/main$r", nBuckets = 32)
           .run(Corpus.generate(spark, nDocs, nEntities.toInt),
-            inputFp = Some(s"corpus:42:$nDocs:$nEntities")).count()
+            inputFp = Some(s"corpus:42:$nDocs:$nEntities"))
+        // completion check from the manifest: the row count was captured
+        // DURING the write job by observe() — a count() here would be a
+        // redundant extra job inside the timed window
+        triples = graft.pipeline.Manifest.read(s"$dir/main$r/triples").get.totalRows
         val wall = (System.nanoTime() - t0) / 1e9
         if (sys.env.contains("GRAFT_STAGE_TIMING"))
           System.err.println(

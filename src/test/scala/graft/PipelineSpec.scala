@@ -61,6 +61,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(comp.map(_.getString(1)).distinct.toSeq == Seq("n000"))
   }
 
+  test("alias map: driver union-find and distributed CC paths agree") {
+    val docs     = Corpus.generate(spark, 500, 80)
+    val mentions = MentionDetect.mentions(docs.toDF())
+    val drv  = Canonicalize.aliasMap(mentions).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Canonicalize.aliasMap(mentions, driverThreshold = 0).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(drv == dist)
+    assert(drv.nonEmpty)
+  }
+
   test("connected components: driver and distributed paths agree") {
     val rng = new scala.util.Random(7)
     val edges = (1 to 300).map(_ => (s"v${rng.nextInt(120)}", s"v${rng.nextInt(120)}"))
