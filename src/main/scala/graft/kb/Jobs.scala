@@ -20,10 +20,21 @@ private[graft] object Jobs {
   /** Union `parts` into jobs of ≤ `chunk` plans and collect all jobs,
     * up to `parallelism` in flight. Returns all rows (order unspecified
     * across chunks — callers key on embedded ids). */
-  def collectChunked(parts: Seq[DataFrame], chunk: Int, parallelism: Int = 4): Seq[Row] = {
+  /** In-flight chunk jobs (1 = serial); env-tunable. Default 2: the
+    * driver plans one chunk while another executes. Higher values showed
+    * no win at local[32] (each chunk job already saturates the cores —
+    * A/B at sf0.1 was within ambient noise, worst case 40% slower under
+    * contention); on a multi-executor cluster with scheduler slack,
+    * raise via GRAFT_JOB_PARALLELISM. */
+  val DefaultParallelism: Int =
+    sys.env.getOrElse("GRAFT_JOB_PARALLELISM", "2").toInt
+
+  def collectChunked(parts: Seq[DataFrame], chunk: Int,
+      parallelism: Int = DefaultParallelism): Seq[Row] = {
     val chunks = parts.grouped(chunk).toSeq
     if (chunks.isEmpty) return Nil
-    if (chunks.size == 1) return chunks.head.reduce(_ union _).collect().toSeq
+    if (chunks.size == 1 || parallelism <= 1)
+      return chunks.flatMap(c => c.reduce(_ union _).collect())
 
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, chunks.size),
