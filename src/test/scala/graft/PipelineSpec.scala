@@ -139,6 +139,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(p3.runsExecuted == List("triples"))
   }
 
+  test("salted materialize spreads a pathological head entity across write tasks") {
+    // 90% of all mentions share ONE subject — the skew shape the north
+    // rule requires the pipeline to survive. The storage layout is
+    // bucketed by subject hash, so the hot entity's BUCKET is large by
+    // design; the salt must spread its rows across multiple shuffle
+    // partitions (= write tasks = files), or one task would own the
+    // whole bucket at 10^12-doc scale.
+    val hot  = "HotEntity"
+    val docs = (0 until 2000).map { i =>
+      val subj = if (i % 10 == 0) s"e_${i % 7}" else hot
+      Doc(s"skew$i", Seq(Span("text", Some(s"$subj livesIn city_${i % 5}."), None, 0)))
+    }
+    val ds  = spark.createDataset(docs)(org.apache.spark.sql.Encoders.product[Doc])
+    val dir = Files.createTempDirectory("graft-skew").toString
+    val p   = new Pipeline(spark, dir, nBuckets = 4)
+    // at toy row counts AQE rightly coalesces the salted partitions back
+    // into one (they are far below the advisory size); disable coalescing
+    // here so the salt's spread — the property that matters when the hot
+    // bucket is tens of GB — is observable in the file layout
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey)
+    try {
+      spark.conf.set(coalesceKey, "false")
+      p.run(ds, inputFp = Some("skew:2000"))
+    } finally spark.conf.set(coalesceKey, prev)
+    val hotBucket = p.materialized().where($"subj" === hot)
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+    assert(hotBucket.size == 1)
+    val files = new java.io.File(s"$dir/triples/bucket=${hotBucket.head}")
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2,
+      s"hot bucket written by ${files.length} task(s) — salt did not spread the skew")
+  }
+
   test("materialized layout is hash-bucketed by subject") {
     val docs = Corpus.generate(spark, 300, V)
     val dir  = Files.createTempDirectory("graft-layout").toString
