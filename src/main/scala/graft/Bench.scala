@@ -124,7 +124,8 @@ object Bench {
       val s1 = pairs.map(_._1._2).min
       val s4 = pairs.map(_._2._2).min
       val roundEffs = pairs.map { case ((_, sn), (_, s4n)) => sn / s4n / 4.0 }
-      val effMedian = roundEffs.sorted.apply(roundEffs.size / 2)
+      // median; for even round counts take the LOWER middle (conservative)
+      val effMedian = roundEffs.sorted.apply((roundEffs.size - 1) / 2)
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
       val effFloor = (tps4N / tpsN) / 4.0
