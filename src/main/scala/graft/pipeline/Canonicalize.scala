@@ -22,6 +22,21 @@ import org.apache.spark.sql.functions._
  */
 object Canonicalize {
 
+  /** `a < b` under unsigned UTF-8 byte ordering — the comparison
+    * `min("src")` uses in the distributed path (UTF8String.compareTo). */
+  private[pipeline] def utf8Lt(a: String, b: String): Boolean = {
+    val (x, y) = (a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                  b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** distinct aliases → blocking-key edges. One scan of the mention
     * stream (explode both sides in place), not one per side. */
   def aliasKeyEdges(mentions: DataFrame): DataFrame = {
@@ -62,7 +77,12 @@ object Canonicalize {
       val arr = aliases.collect().map(_.getString(0))
       // union-find keyed by the same two blocking keys as the
       // distributed path; result is order-independent (component
-      // canonical = min alias of the final component)
+      // canonical = min alias of the final component).
+      // Locale.ROOT + UTF-8 byte ordering below: the distributed path
+      // uses Spark's locale-independent lower() and UTF8String byte
+      // comparisons, so the driver regime must not depend on the JVM
+      // default locale (Turkish dotless-i) or UTF-16 code-unit order
+      // (which diverges from byte order for non-BMP code points).
       val parent = scala.collection.mutable.Map[String, String]()
       def find(x: String): String = {
         var r = x
@@ -77,15 +97,16 @@ object Canonicalize {
       }
       val keyAnchor = scala.collection.mutable.Map[String, String]()
       for (a <- arr) {
-        val k1 = "k1:" + a.toLowerCase
-        val k2 = "k2:" + a.toLowerCase.replaceAll("[ _]", "")
+        val lc = a.toLowerCase(java.util.Locale.ROOT)
+        val k1 = "k1:" + lc
+        val k2 = "k2:" + lc.replaceAll("[ _]", "")
         for (k <- Seq(k1, k2)) keyAnchor.get(k) match {
           case Some(anchor) => union(anchor, a)
           case None         => keyAnchor(k) = a
         }
       }
       val canonical = arr.groupBy(find).map { case (root, members) =>
-        root -> members.min
+        root -> members.reduce((x, y) => if (utf8Lt(x, y)) x else y)
       }
       spark.createDataset(arr.toIndexedSeq.map(a => (a, canonical(find(a)))))
         .toDF("alias", "canonical")

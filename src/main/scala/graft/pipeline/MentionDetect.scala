@@ -27,8 +27,11 @@ object MentionDetect {
     * The three capture groups come from ONE regex match per span
     * ([[graft.expressions.RegexpExtractGroups]], native codegen) — the
     * built-in `regexp_extract` would re-match the same string once per
-    * group. The groups array is materialized in its own projection below
-    * the filter, so it is evaluated exactly once per row. */
+    * group. The groups array gets its own projection; the optimizer may
+    * still push the isNotNull filter below it (re-evaluating the regex
+    * for the filter unless subexpression elimination merges the two), so
+    * the guarantee is one match per *group set*, not strictly one per
+    * row — either way far cheaper than three regexp_extract calls. */
   def mentions(docs: DataFrame): DataFrame = {
     val p = pattern
     docs

@@ -71,8 +71,13 @@ final class Pipeline(
       a
     }
 
-  private def stageImpl(name: String, inputFp: String, partitionCols: Seq[String])(
+  private def stageImpl(name: String, inputFp0: String, partitionCols: Seq[String])(
       compute: => DataFrame): DataFrame = {
+    // the fingerprint carries the on-disk LAYOUT version alongside the
+    // input identity: a workDir written by an older stage layout (e.g.
+    // the pre-entity-id triples schema) must recompute, not resume into
+    // missing-column failures downstream
+    val inputFp = s"layout=${Pipeline.LayoutVersion}|$inputFp0"
     val dir = stageDir(name)
     Manifest.read(dir) match {
       case Some(m) if m.complete && m.inputFingerprint == inputFp =>
@@ -123,6 +128,16 @@ final class Pipeline(
    *                sane choice (Iceberg snapshot-id semantics).
    */
   def run(docs: Dataset[Doc], inputFp: Option[String] = None): DataFrame = {
+    // a prior failed run on the same workDir may have left a manifest
+    // task pending against a stage dir this run is about to overwrite —
+    // drain it first so the stale footer read can't race the recompute,
+    // and always drain on exit (even a failing one) for the same reason
+    awaitManifests()
+    try runImpl(docs, inputFp)
+    finally awaitManifests()
+  }
+
+  private def runImpl(docs: Dataset[Doc], inputFp: Option[String]): DataFrame = {
     val docsDF = docs.toDF()
     val docsFp = inputFp.getOrElse(Manifest.fingerprint(docsDF.select("doc_id")))
 
@@ -170,7 +185,6 @@ final class Pipeline(
           pmod(xxhash64(col("src_doc"), col("src_span")), lit(1 << saltBits)))
         .sortWithinPartitions("bucket")
     }
-    awaitManifests()
     out
   }
 
@@ -193,4 +207,11 @@ final class Pipeline(
 
   /** The emitted graph as a plain (subj, pred, obj) KB for rule mining. */
   def triples(): DataFrame = materialized().select("subj", "pred", "obj")
+}
+
+object Pipeline {
+  /** Bump whenever a stage's on-disk schema/layout changes — folded into
+    * every stage fingerprint so old checkpoints invalidate explicitly.
+    * v2 = entity-id-encoded triples + alias catalog with entity_id. */
+  val LayoutVersion = 2
 }

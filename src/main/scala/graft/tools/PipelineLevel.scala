@@ -43,11 +43,19 @@ object PipelineLevel {
           inputFp = Some("warmup"))
         .count()
       var triples = 0L
-      val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      val stageTiming = sys.env.contains("GRAFT_STAGE_TIMING")
+      // process-CPU sampling is only needed for the opt-in timing output,
+      // and the com.sun.management extension is not guaranteed — look it
+      // up lazily and degrade to wall-only output when absent
+      val cpuTime: () => Long =
+        if (!stageTiming) () => 0L
+        else java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+          case b: com.sun.management.OperatingSystemMXBean => () => b.getProcessCpuTime
+          case _ => () => -1L
+        }
       val secs = (1 to reps.toInt).map { r =>
         val t0 = System.nanoTime()
-        val c0 = osBean.getProcessCpuTime
+        val c0 = cpuTime()
         new Pipeline(spark, s"$dir/main$r", nBuckets = 32)
           .run(Corpus.generate(spark, nDocs, nEntities.toInt),
             inputFp = Some(s"corpus:42:$nDocs:$nEntities"))
@@ -56,9 +64,11 @@ object PipelineLevel {
         // redundant extra job inside the timed window
         triples = graft.pipeline.Manifest.read(s"$dir/main$r/triples").get.totalRows
         val wall = (System.nanoTime() - t0) / 1e9
-        if (sys.env.contains("GRAFT_STAGE_TIMING"))
-          System.err.println(
-            f"[rep] $r wall=$wall%.2f cpu=${(osBean.getProcessCpuTime - c0) / 1e9}%.2f")
+        if (stageTiming) {
+          val c1 = cpuTime()
+          val cpu = if (c0 < 0 || c1 < 0) "n/a" else f"${(c1 - c0) / 1e9}%.2f"
+          System.err.println(f"[rep] $r wall=$wall%.2f cpu=$cpu")
+        }
         wall
       }
       println(f"GRAFT_LEVEL cores=$cores triples=$triples bestSec=${secs.min}%.3f")
