@@ -141,7 +141,12 @@ object Bench {
     // ---- part 2: operator queries at the driver's SF dir ----
     val spark = Sessions.local(cpus, "graft-bench-queries")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated filter for iterating on single queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val (_, sec) = timed {
         try fn(spark, sfDir).count()
         catch { case _: Throwable => -1L }

@@ -29,12 +29,28 @@ object QueryBuilder {
    * - atoms are greedily ordered for connectivity only (avoid accidental
    *   cross joins); cardinality ordering is left to Catalyst.
    */
-  def bindings(triples: DataFrame, atoms: Seq[Atom]): DataFrame = {
+  def bindings(triples: DataFrame, atoms: Seq[Atom]): DataFrame =
+    bindings(triples, atoms, None)
+
+  /**
+   * As [[bindings]], with optional KG statistics driving a
+   * most-restrictive-first greedy join order (the Spark analog of the
+   * reference's "most restrictive triple" selection, KB.java:1631-1645,
+   * but System-R-style: cardinality-estimated from per-relation size and
+   * distinct-subject/object counts instead of live index probes).
+   * Ordering never changes the result set — only the plan shape; without
+   * stats the connectivity-only order is used and Catalyst's own
+   * strategies do the rest.
+   */
+  def bindings(triples: DataFrame, atoms: Seq[Atom], stats: Option[KGStats]): DataFrame = {
     require(atoms.nonEmpty, "empty conjunctive query")
     val (pseudo, positive) = atoms.partition(_.isPseudo)
     require(positive.nonEmpty, "query needs at least one positive atom")
 
-    val ordered = connectivityOrder(positive)
+    val ordered = stats match {
+      case Some(st) => cardinalityOrder(positive, st)
+      case None     => connectivityOrder(positive)
+    }
     var df = atomDF(triples, ordered.head)
     for (a <- ordered.tail) {
       val right  = atomDF(triples, a)
@@ -82,6 +98,66 @@ object QueryBuilder {
       case Const(Atom.Equals)        => c(a.s) === c(a.o)
       case other => throw new IllegalArgumentException(s"not a pseudo-atom: $other")
     }
+  }
+
+  /**
+   * Greedy System-R-style atom ordering: start from the atom with the
+   * smallest estimated (constant-filtered) cardinality, then repeatedly
+   * append the atom minimizing the estimated join output, preferring
+   * connected atoms. Join selectivity per already-bound variable position
+   * is 1/distinct-values-at-that-position (independence assumed); a
+   * variable-predicate atom (the miner's candidate-relation template)
+   * uses whole-KB totals. Matters because Spark's CBO join reorder is
+   * off by default and the left-deep fold in [[bindings]] otherwise
+   * executes atoms in syntactic order — for counting queries like
+   * `head(x,y) ∧ body(z,y) ∧ cand(z,x)` the syntactic order explodes
+   * through the weakly-selective body join before the template join
+   * shrinks it again.
+   */
+  private def cardinalityOrder(atoms: Seq[Atom], st: KGStats): Seq[Atom] = {
+    if (atoms.size <= 2) return connectivityOrder(atoms)
+    val totalSize = math.max(1L, st.totalFacts).toDouble
+    val totalDs   = math.max(1L, st.relations.values.map(_.distinctSubj).sum).toDouble
+    val totalDo   = math.max(1L, st.relations.values.map(_.distinctObj).sum).toDouble
+    // (size, distinctSubj, distinctObj) with constants folded in
+    def relStats(a: Atom): (Double, Double, Double) = a.p match {
+      case Const(p) => st.relations.get(p) match {
+        case Some(r) => (math.max(1.0, r.size.toDouble),
+          math.max(1.0, r.distinctSubj.toDouble), math.max(1.0, r.distinctObj.toDouble))
+        case None => (1.0, 1.0, 1.0)
+      }
+      case _ => (totalSize, totalDs, totalDo)
+    }
+    def baseEst(a: Atom): Double = {
+      val (s, ds, dob) = relStats(a)
+      var e = s
+      if (a.s.isInstanceOf[Const]) e /= ds
+      if (a.o.isInstanceOf[Const]) e /= dob
+      math.max(e, 1.0)
+    }
+    val pending = scala.collection.mutable.ArrayBuffer(atoms: _*)
+    val out     = scala.collection.mutable.ArrayBuffer[Atom]()
+    val bound   = scala.collection.mutable.Set[String]()
+    def take(a: Atom): Unit = {
+      pending -= a; out += a; a.vars.foreach(v => bound += v.name)
+    }
+    take(pending.minBy(baseEst))
+    var est = baseEst(out.head)
+    while (pending.nonEmpty) {
+      val connected = pending.filter(_.vars.exists(v => bound(v.name)))
+      val pool      = if (connected.nonEmpty) connected.toSeq else pending.toSeq
+      def joinedEst(a: Atom): Double = {
+        val (_, ds, dob) = relStats(a)
+        var e = est * baseEst(a)
+        a.s match { case v: Var if bound(v.name) => e /= ds;  case _ => }
+        a.o match { case v: Var if bound(v.name) => e /= dob; case _ => }
+        math.max(e, 1.0)
+      }
+      val pick = pool.minBy(joinedEst)
+      est = joinedEst(pick)
+      take(pick)
+    }
+    out.toSeq
   }
 
   /** Greedy reorder so each atom shares a variable with the prefix when

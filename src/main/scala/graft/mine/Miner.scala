@@ -95,6 +95,15 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       .filter(p => stats.size(p) >= supportThreshold(p))
       .map(p => Node(Rule(Atom(Var("x"), Const(p), Var("y")), Nil), -1.0))
 
+  private def phaseTimed[A](what: => String)(f: => A): A =
+    if (!sys.env.contains("GRAFT_MINE_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val a  = f
+      System.err.println(f"[mine] $what%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      a
+    }
+
   /** Mine and return all output rules, deterministically ordered. */
   def mine(): Seq[ScoredRule] = {
     val seen   = scala.collection.mutable.Set[String]()
@@ -151,7 +160,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
           val lookup: Int => Option[Long] = i => hints.get(i)
           Some((lookup, config.minStdConfidence, config.minPcaConfidence))
         } else None
-      val scoredSeq = metrics.scoreAll(scoreRules, countVarsOf, lazyCfg)
+      val scoredSeq = phaseTimed(s"score ${scoreRules.size} closed")(
+        metrics.scoreAll(scoreRules, countVarsOf, lazyCfg))
       val scored: Map[String, ScoredRule] =
         kept.zip(scoredSeq).map { case ((n, _, pcaUB, est), s) =>
           n.rule.canonical -> s.copy(
@@ -175,7 +185,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         n.rule.length < config.maxDepth &&
         scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0) // perfect-rule pruning
       }
-      val children = refineLevel(refinable, outputConf.toMap)
+      val children = phaseTimed(s"refine ${refinable.size} rules")(
+        refineLevel(refinable, outputConf.toMap))
       level = children.filter(c => seen.add(c.rule.canonical))
     }
     output.toSeq.sortBy(s => (headRel(s.rule), -s.pcaConfidence, -s.support, s.rule.amieString))
@@ -217,12 +228,18 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       } templates += ((i, Atom(v1, Var(candCol), v2), false))
     }
 
-    // Chunked jobs: per (template, candidate relation) → child support.
-    // One job per ~JobChunk templates keeps Catalyst planning bounded
-    // while still counting a whole level in a few jobs.
+    // Chunked jobs: per (template, candidate relation) -> child support.
+    // One plan per template, the atom order chosen by the stats-driven
+    // most-restrictive-first estimator (QueryBuilder.cardinalityOrder):
+    // for the dominant closing templates the template atom is scheduled
+    // BEFORE the weakly-selective body joins, so the plan never builds
+    // the exploded body-only cross section (measured 9M intermediate
+    // rows -> ~40k on the sf0.1 dimension KB). ~TemplateChunk plans are
+    // unioned per job to bound Catalyst planning cost, and chunk jobs
+    // run concurrently (Jobs.collectChunked).
     val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
       val r  = nodes(idx).rule
-      val df = QueryBuilder.bindings(kb, r.atoms :+ tpl)
+      val df = QueryBuilder.bindings(kb, r.atoms :+ tpl, Some(stats))
       val hv = countVarsOf(r) // bias-chosen support variables
       val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                else countDistinct(struct(hv.map(v => col(v.name)): _*))
@@ -402,8 +419,10 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
 }
 
 object Miner {
-  /** Candidate-counting plans unioned per job. Measured A/B at sf0.1:
-    * 48 is within noise of 24, so keep the planning-validated 24 (wider
-    * unions have caused Catalyst planning stalls on level-2 mining). */
-  val TemplateChunk = 24
+  /** Candidate-counting templates per chunk job. Measured A/B at sf0.1
+    * (round 3, stats-ordered plans): 12 beats 24 and 48 — smaller chunks
+    * plan faster and overlap better under the concurrent job pool.
+    * Env-tunable for A/B on other KBs. */
+  val TemplateChunk: Int =
+    sys.env.getOrElse("GRAFT_TEMPLATE_CHUNK", "12").toInt
 }
