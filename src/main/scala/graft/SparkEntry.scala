@@ -91,6 +91,28 @@ object SparkEntry {
         "support", "body_size", "pca_body_size", "functional_variable")
   }
 
+  /** A 4-relation KB with genuinely entailed depth-2 rules, for the
+    * fully-SQL-oracled mining run: a base relation, an entailed subset
+    * (positive-balance customers), its inverse, and an unrelated
+    * relation that seeds but never closes. The TPC-H dimension triples
+    * have pairwise-disjoint (subj, obj) namespaces, so 2-atom rules
+    * over them are all support-0 — this view is what makes the depth-2
+    * search's output non-vacuous and SQL-checkable. */
+  def miningKB(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val nat  = t(spark, dir, "nation")
+    val r1 = cust.select(concat(lit("c"), col("c_custkey")).as("subj"),
+      lit("custNation").as("pred"), concat(lit("n"), col("c_nationkey")).as("obj"))
+    val r2 = cust.where(col("c_acctbal") >= 0)
+      .select(concat(lit("c"), col("c_custkey")).as("subj"),
+        lit("custNationAcct").as("pred"), concat(lit("n"), col("c_nationkey")).as("obj"))
+    val r3 = cust.select(concat(lit("n"), col("c_nationkey")).as("subj"),
+      lit("nationCust").as("pred"), concat(lit("c"), col("c_custkey")).as("obj"))
+    val r4 = nat.select(concat(lit("n"), col("n_nationkey")).as("subj"),
+      lit("nationRegion").as("pred"), concat(lit("r"), col("n_regionkey")).as("obj"))
+    r1.union(r2).union(r3).union(r4)
+  }
+
   // shared query atoms
   private val custNat  = Atom(Var("c"), Const("custNation"), Var("n"))
   private val natReg   = Atom(Var("n"), Const("nationRegion"), Var("r"))
@@ -259,6 +281,19 @@ object SparkEntry {
     // ---- §2.9 full mining run over the dimension subgraph (rows-only
     //      check: the BFS search is not SQL-expressible; its metric layer
     //      is oracle-checked by kb_rule_metrics)
+    // ---- §2.9/§2.10 depth-2 mining run, FULLY SQL-oracled: at
+    //      maxDepth=2 the BFS degenerates to closing-only refinement, so
+    //      the emitted rule set and all 12 output columns are expressible
+    //      as relation-pair enumeration in SQL (both orientations,
+    //      support/HC/std/PCA thresholds, functional-variable choice).
+    //      kb_mined_rules below keeps exercising the depth-3 search.
+    "kb_mined_rules_d2" -> { (s, dir) =>
+      val rules = new Miner(miningKB(s, dir),
+        MinerConfig(minSupport = 20, minHeadCoverage = 0.05,
+          minPcaConfidence = 0.5, maxDepth = 2)).mine()
+      RuleSink.toDF(s, rules)
+    },
+
     "kb_mined_rules" -> { (s, dir) =>
       val dims = tpchTriples(s, dir)
         .where(col("pred").isin("custNation", "suppNation", "nationRegion", "custRegion"))
@@ -635,6 +670,69 @@ object SparkEntry {
          |FROM d""".stripMargin)
 
   def oracleSql: Map[String, String] = trainingOracle ++ Map(
+    // Depth-2 mining in SQL: enumerate (body-relation, orientation,
+    // head-relation) candidates over the same 4-relation KB as
+    // SparkEntry.miningKB, compute support / head-coverage / std / PCA
+    // exactly as Metrics does (PCA denominator keyed on the functional
+    // variable — subject iff distinct-subject count >= distinct-object
+    // count), apply the miner's thresholds, and render the AMIE rule
+    // string. The b=h same-orientation candidate is the head atom itself
+    // and is excluded, mirroring the refinement's duplicate-atom guard.
+    "kb_mined_rules_d2" ->
+      """WITH t AS (
+        |  SELECT DISTINCT subj, pred, obj FROM (
+        |    SELECT 'c' || c_custkey AS subj, 'custNation' AS pred, 'n' || c_nationkey AS obj FROM customer
+        |    UNION ALL SELECT 'c' || c_custkey, 'custNationAcct', 'n' || c_nationkey FROM customer WHERE c_acctbal >= 0
+        |    UNION ALL SELECT 'n' || c_nationkey, 'nationCust', 'c' || c_custkey FROM customer
+        |    UNION ALL SELECT 'n' || n_nationkey, 'nationRegion', 'r' || n_regionkey FROM nation
+        |  )
+        |),
+        |hsz AS (SELECT pred, count(*) AS sz, count(DISTINCT subj) AS ds, count(DISTINCT obj) AS dobj FROM t GROUP BY pred),
+        |kbsz AS (SELECT count(*) AS n FROM t),
+        |body AS (
+        |  SELECT pred AS bp, 0 AS inv, subj AS x, obj AS y FROM t
+        |  UNION ALL SELECT pred AS bp, 1 AS inv, obj AS x, subj AS y FROM t
+        |),
+        |supp AS (
+        |  SELECT b.bp, b.inv, h.pred AS hp, count(DISTINCT b.x || '|' || b.y) AS support
+        |  FROM body b JOIN t h ON b.x = h.subj AND b.y = h.obj
+        |  WHERE NOT (b.bp = h.pred AND b.inv = 0)
+        |  GROUP BY b.bp, b.inv, h.pred
+        |),
+        |bsz AS (SELECT bp, inv, count(DISTINCT x || '|' || y) AS body_size FROM body GROUP BY bp, inv),
+        |pca AS (
+        |  SELECT b.bp, b.inv, hd.pred AS hp, count(DISTINCT b.x || '|' || b.y) AS pca_body_size
+        |  FROM body b JOIN (SELECT DISTINCT t.pred, t.subj AS e FROM t JOIN hsz z ON z.pred = t.pred AND z.ds >= z.dobj) hd
+        |    ON b.x = hd.e
+        |  GROUP BY 1, 2, 3
+        |  UNION ALL
+        |  SELECT b.bp, b.inv, hd.pred AS hp, count(DISTINCT b.x || '|' || b.y) AS pca_body_size
+        |  FROM body b JOIN (SELECT DISTINCT t.pred, t.obj AS e FROM t JOIN hsz z ON z.pred = t.pred AND z.ds < z.dobj) hd
+        |    ON b.y = hd.e
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT
+        |  CASE WHEN s.inv = 0 THEN '?x  ' || s.bp || '  ?y   => ?x  ' || s.hp || '  ?y'
+        |       ELSE '?y  ' || s.bp || '  ?x   => ?x  ' || s.hp || '  ?y' END AS "Rule",
+        |  CAST(s.support AS DOUBLE) / hsz.sz AS "HeadCoverage",
+        |  CAST(s.support AS DOUBLE) / bsz.body_size AS "StdConfidence",
+        |  CAST(s.support AS DOUBLE) / p.pca_body_size AS "PcaConfidence",
+        |  s.support AS "Support",
+        |  CAST(s.support AS DOUBLE) / kbsz.n AS "SupportRatio",
+        |  bsz.body_size AS "BodySize",
+        |  p.pca_body_size AS "PcaBodySize",
+        |  CASE WHEN hsz.ds >= hsz.dobj THEN '?x' ELSE '?y' END AS "FunctionalVariable",
+        |  CAST(0 AS DOUBLE) AS "StdConfUpperBound",
+        |  CAST(0 AS DOUBLE) AS "PcaConfUpperBound",
+        |  CAST(0 AS DOUBLE) AS "PcaConfEstimation"
+        |FROM supp s
+        |JOIN hsz ON hsz.pred = s.hp
+        |JOIN bsz ON bsz.bp = s.bp AND bsz.inv = s.inv
+        |JOIN pca p ON p.bp = s.bp AND p.inv = s.inv AND p.hp = s.hp
+        |CROSS JOIN kbsz
+        |WHERE s.support >= GREATEST(20, CAST(CEIL(0.05 * hsz.sz) AS BIGINT))
+        |  AND CAST(s.support AS DOUBLE) / hsz.sz >= 0.05
+        |  AND CAST(s.support AS DOUBLE) / p.pca_body_size >= 0.5""".stripMargin,
     "kb_stats" ->
       s"""$triplesCte
          |SELECT pred, count(*) AS size,
