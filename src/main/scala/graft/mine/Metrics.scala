@@ -87,7 +87,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
    * whenever every head variable is bound by the body (always true for
    * closed rules); other shapes fall back to [[agg1]].
    */
-  private def fusedPlan(ruleId: Int, r: Rule, countVars: Seq[Var]): Option[DataFrame] = {
+  private def fusedPlan(ruleId: Int, r: Rule, countVars: Seq[Var],
+      cc: List[Atom] = Nil): Option[DataFrame] = {
     val hv = countVars
     if (r.body.isEmpty || hv.isEmpty) return None
     // variables PROJECTED by the body plan: positive atoms only (pseudo
@@ -99,6 +100,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // functional one for oneVar)
     val headKeys = r.headVars.map(_.name)
     if (headKeys.isEmpty || !(headKeys ++ hv.map(_.name)).forall(bodyVars)) return None
+    // a count constraint mentioning a variable outside the head keys
+    // cannot ride the head marker
+    if (!cc.flatMap(_.vars).map(_.name).forall(n => headKeys.contains(n) || !r.allVars.exists(_.name == n)))
+      return None
     val fresh = freshVar(r)
     val pcaHead =
       if (headRelationFunctionalIsSubject(r)) r.head.copy(o = fresh)
@@ -106,7 +111,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     val pcaKeys = pcaHead.vars.filterNot(_ == fresh).map(_.name).distinct
     if (pcaKeys.isEmpty || !pcaKeys.forall(bodyVars)) return None
     val base  = QueryBuilder.bindings(triples, r.body)
-    val headD = QueryBuilder.bindings(triples, Seq(r.head))
+    // support-only count constraints (seeds-count bias) ride in the head
+    // marker: they only touch head variables, so the marker's distinct
+    // key set is exactly the constrained support key set
+    val headD = QueryBuilder.bindings(triples, r.head +: cc)
       .select(headKeys.map(col): _*).distinct().withColumn("__h", lit(1))
     val pcaD  = QueryBuilder.bindings(triples, Seq(pcaHead))
       .select(pcaKeys.map(col): _*).distinct().withColumn("__p", lit(1))
@@ -154,7 +162,17 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   def scoreAll(
       rules: Seq[Rule],
       countVarsOf: Rule => Seq[Var],
-      lazyCfg: Option[(Int => Option[Long], Double, Double)]): Seq[ScoredRule] = {
+      lazyCfg: Option[(Int => Option[Long], Double, Double)]): Seq[ScoredRule] =
+    scoreAll(rules, countVarsOf, lazyCfg, MiningBias.Default)
+
+  /** As above, with the bias's count constraints (support-only extra
+    * atoms), output-rule acceptance and supportRatio denominator applied
+    * — the seeds-count / existential assistant surface. */
+  def scoreAll(
+      rules: Seq[Rule],
+      countVarsOf: Rule => Seq[Var],
+      lazyCfg: Option[(Int => Option[Long], Double, Double)],
+      bias: MiningBias): Seq[ScoredRule] = {
     if (rules.isEmpty) return Nil
 
     val counts       = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
@@ -164,6 +182,7 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
 
     rules.zipWithIndex.foreach { case (r, i) =>
       val kv = countVarsOf(r)
+      val cc = bias.countConstraints(this, r)
       val lazySupport = lazyCfg.collect {
         case (sup, minStd, minPca) if (minStd > 0 || minPca > 0) && r.body.nonEmpty =>
           sup(i)
@@ -177,14 +196,25 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
           parts += boundedCount(i, "body", kv, r.body, bnd(minStd))
           parts += boundedCount(i, "pca", kv, pcaAtoms(r), bnd(minPca))
         case None =>
-          fusedPlan(i, r, kv) match {
+          fusedPlan(i, r, kv, cc) match {
             case Some(df) => fusedPlans += df
             case None =>
-              // fallback (head variable not bound by the body, e.g.
-              // bodyless or fully-instantiated heads): three separate aggs
-              parts += agg1(i, "support", kv, r.atoms)
-              parts += agg1(i, "body", kv, r.body)
-              parts += agg1(i, "pca", kv, pcaAtoms(r))
+              // fallback (head variable not bound by the body: bodyless,
+              // fully-instantiated, or EXISTENTIAL heads): separate aggs.
+              // Denominators count only the body-bound counting variables
+              // — an open head variable is constrained by nothing in a
+              // body-only conjunction (its column does not even exist
+              // there); with no bound count var the denominators stay 0
+              // and the confidences degrade to 0.0, the reference's own
+              // behavior for this shape (ExistentialRulesHeadVariables
+              // MiningAssistant.java:44-57, exception-swallowed).
+              parts += agg1(i, "support", kv, r.atoms ++ cc)
+              val bodyVars = r.realBody.flatMap(_.vars).map(_.name).toSet
+              val dvs      = kv.filter(v => bodyVars(v.name))
+              if (dvs.nonEmpty && r.realBody.nonEmpty) {
+                parts += agg1(i, "body", dvs, r.body)
+                parts += agg1(i, "pca", dvs, pcaAtoms(r))
+              }
           }
       }
     }
@@ -207,7 +237,13 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // O_I rule would reintroduce the per-candidate query storm)
     val headSizes: Map[Int, Long] = {
       val hsParts = rules.zipWithIndex.collect {
-        case (r, i) if headSizeNeedsQuery(r) => agg1(i, "hs", r.headVars, Seq(r.head))
+        case (r, i) if headSizeNeedsQuery(r) || bias.countConstraints(this, r).nonEmpty =>
+          // under count constraints the head-coverage denominator is the
+          // constrained head count on the bias's counting variables (the
+          // reference registers seedsCardinality as the head cardinality)
+          val cc = bias.countConstraints(this, r)
+          if (cc.isEmpty) agg1(i, "hs", r.headVars, Seq(r.head))
+          else agg1(i, "hs", countVarsOf(r), r.head +: cc)
       }
       Jobs.collectChunked(hsParts, JobChunk)
         .map(row => row.getInt(0) -> row.getLong(2)).toMap
@@ -228,8 +264,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
           val t = if (headRelationFunctionalIsSubject(r)) r.head.s else r.head.o
           t match { case Var(n) => s"?$n"; case Const(c) => c } // head may be instantiated
         },
-        supportRatio =
-          if (stats.totalFacts == 0) 0.0 else support.toDouble / stats.totalFacts,
+        supportRatio = {
+          val denom = bias.supportRatioDenom.getOrElse(stats.totalFacts)
+          if (denom == 0) 0.0 else support.toDouble / denom
+        },
         // stdConfUpperBound is a pure stats lookup (zero jobs) — populate
         // whenever the hard shape applies; the costlier pcaConfUpperBound /
         // pcaConfEstimation are filled in by the miner when its pruning

@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
  */
 final case class MinerConfig(
     minSupport: Long = 100,
+    /** support threshold applied to the INITIAL seed atoms only
+      * (AMIEOptions -minis); negative = use minSupport. */
+    minInitialSupport: Long = -1L,
     minHeadCoverage: Double = 0.01,
     minPcaConfidence: Double = 0.1,
     minStdConfidence: Double = 0.0,
@@ -29,6 +32,21 @@ final case class MinerConfig(
     /** max occurrences of one relation in a rule (recursivity guard,
       * DefaultMiningAssistant.java:212-214). */
     maxRelationOccurrence: Int = 2,
+    /** restrict mined heads to these relations (AMIEOptions -htr);
+      * empty = all relations seed. */
+    headTargetRelations: Seq[String] = Nil,
+    /** relations banned from rule heads (AMIEOptions -hexr). */
+    headExcludedRelations: Set[String] = Set.empty,
+    /** relations banned from rule bodies (AMIEOptions -bexr). */
+    bodyExcludedRelations: Set[String] = Set.empty,
+    /** restrict O_I instantiation to open variables of atoms with these
+      * relations (AMIEOptions -itr); empty = all. With the type relation
+      * alone this reproduces the typed assistant's B ∧ is(x,C) ∧ is(y,C')
+      * rule space (TypedDefaultMiningAssistant.java:25-80). */
+    instantiationTargetRelations: Seq[String] = Nil,
+    /** relations whose atoms' open variables are never instantiated
+      * (AMIEOptions -iexr). */
+    instantiationExcludedRelations: Set[String] = Set.empty,
     /** counting/denominator strategy — the assistant-variant surface
       * (MiningAssistantFactory.java:33-90): default, oneVar, lazy,
       * signatured. */
@@ -78,22 +96,78 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
   private def headRel(r: Rule): String =
     r.head.p match { case Const(p) => p; case _ => "" }
 
+  private val bias = config.bias
+  private def countVarsOf(r: Rule): Seq[Var] = bias.countVars(metrics, r)
+
+  /** Head cardinality for thresholds/coverage: the plain relation size,
+    * or the count-constrained size when the bias restricts counts (the
+    * reference registers seedsCardinality as the head cardinality,
+    * SeedsCountMiningAssistant.java:100-110). Computed once per relation. */
+  private val headSizeCache = scala.collection.mutable.Map[String, Long]()
+  private def headSizeOf(rel: String): Long = {
+    val seedRule = Rule(Atom(Var("x"), Const(rel), Var("y")), Nil)
+    val cc = bias.countConstraints(metrics, seedRule)
+    if (cc.isEmpty) stats.size(rel)
+    else headSizeCache.getOrElseUpdate(rel,
+      QueryBuilder.countDistinctBindings(kb, countVarsOf(seedRule), seedRule.head :: cc))
+  }
+
   /** Per-head-relation support threshold (AMIE.java:457-467). */
   private def supportThreshold(rel: String): Long =
     math.max(config.minSupport,
-      math.ceil(config.minHeadCoverage * stats.size(rel)).toLong)
+      math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
 
-  private val bias = config.bias
-  private def countVarsOf(r: Rule): Seq[Var] = bias.countVars(metrics, r)
+  /** Seed-only threshold (AMIEOptions -minis). */
+  private def initialThreshold(rel: String): Long = {
+    val floor = if (config.minInitialSupport >= 0) config.minInitialSupport
+                else config.minSupport
+    math.max(floor, math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
+  }
 
   /** Seed rules `⇒ r(x,y)` for every relation large enough (DMA:81-88);
     * bias-excluded relations (e.g. the schema relations under the
     * signatured bias) never seed. */
-  private def seeds: Seq[Node] =
-    stats.preds
+  private def seeds: Seq[Node] = {
+    val plain = stats.preds
       .filterNot(bias.excludedRelations)
-      .filter(p => stats.size(p) >= supportThreshold(p))
+      .filterNot(config.headExcludedRelations)
+      .filter(p => config.headTargetRelations.isEmpty ||
+        config.headTargetRelations.contains(p))
+      .filter(p => headSizeOf(p) >= initialThreshold(p))
       .map(p => Node(Rule(Atom(Var("x"), Const(p), Var("y")), Nil), -1.0))
+    if (!bias.instantiatedHeadSeeds) plain
+    else plain ++ instantiatedHeadSeedsOf(plain)
+  }
+
+  /** `⇒ r(x, C)` seeds: one chunked job binds the head's NON-functional
+    * variable per relation, counting the functional one
+    * (InstantiatedHeadMiningAssistant.getInitialAtoms — countVarPos is
+    * the functional position, the other argument is instantiated). */
+  private def instantiatedHeadSeedsOf(plain: Seq[Node]): Seq[Node] = {
+    val tasks = plain.map { n =>
+      val fvSubj = metrics.headRelationFunctionalIsSubject(n.rule)
+      val (fv, nv) = if (fvSubj) (n.rule.head.s, n.rule.head.o)
+                     else (n.rule.head.o, n.rule.head.s)
+      (n, fv.asInstanceOf[Var], nv.asInstanceOf[Var])
+    }
+    val parts = tasks.zipWithIndex.map { case ((n, fv, nv), i) =>
+      val cc = bias.countConstraints(metrics, n.rule)
+      QueryBuilder.bindings(kb, n.rule.head :: cc)
+        .groupBy(col(nv.name)).agg(countDistinct(col(fv.name)).as("supp"))
+        .select(lit(i).as("id"), col(nv.name).as("c"), col("supp"))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Node]()
+    for (row <- Jobs.collectChunked(parts, Metrics.JobChunk)) {
+      val (n, _, nv) = tasks(row.getInt(0))
+      val supp       = row.getLong(2)
+      if (supp >= initialThreshold(headRel(n.rule))) {
+        def sub(t: Term): Term = if (t == nv) Const(row.getString(1)) else t
+        out += Node(Rule(Atom(sub(n.rule.head.s), n.rule.head.p,
+          sub(n.rule.head.o)), Nil), -1.0, supp)
+      }
+    }
+    out.toSeq
+  }
 
   private def phaseTimed[A](what: => String)(f: => A): A =
     if (!sys.env.contains("GRAFT_MINE_TIMING")) f
@@ -116,7 +190,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       // optional type-I upper-bound / functionality-heuristic pre-prune: a
       // cheap bound below the threshold means the exact metrics cannot
       // pass either. Computed values are kept for the output columns.
-      val closedNodes = level.filter(_.rule.isClosed)
+      val closedNodes = level.filter(n => bias.acceptForOutput(n.rule))
       val evals: Seq[(Node, Option[Double], Option[Double], Option[Double])] =
         closedNodes.map { n =>
           // no hint, or the bias rescored with extra type atoms (a bound on
@@ -161,7 +235,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
           Some((lookup, config.minStdConfidence, config.minPcaConfidence))
         } else None
       val scoredSeq = phaseTimed(s"score ${scoreRules.size} closed")(
-        metrics.scoreAll(scoreRules, countVarsOf, lazyCfg))
+        metrics.scoreAll(scoreRules, countVarsOf, lazyCfg, bias))
       val scored: Map[String, ScoredRule] =
         kept.zip(scoredSeq).map { case ((n, _, pcaUB, est), s) =>
           n.rule.canonical -> s.copy(
@@ -219,11 +293,14 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         }
       }
       // O_C closing: both sides existing vars (bias-chosen pairs). At the
-      // last level the child must end up closed: the new atom must cover
-      // all open vars (DMA:127-137 max-length pruning).
+      // last level the child must end up output-eligible: the new atom
+      // must cover every open var the bias does not tolerate open
+      // (DMA:127-137 max-length pruning; the existential bias tolerates
+      // open HEAD variables).
       for {
         (v1, v2) <- bias.closingPairs(r)
-        closesAll = open.subsetOf(Set(v1.name, v2.name))
+        closesAll = (open -- Set(v1.name, v2.name))
+          .forall(n => bias.mayStayOpenAtOutput(r, n))
         if !lastLevel || closesAll
       } templates += ((i, Atom(v1, Var(candCol), v2), false))
     }
@@ -239,7 +316,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     // run concurrently (Jobs.collectChunked).
     val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
       val r  = nodes(idx).rule
-      val df = QueryBuilder.bindings(kb, r.atoms :+ tpl, Some(stats))
+      val cc = bias.countConstraints(metrics, r)
+      val df = QueryBuilder.bindings(kb, (r.atoms ++ cc) :+ tpl, Some(stats))
       val hv = countVarsOf(r) // bias-chosen support variables
       val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                else countDistinct(struct(hv.map(v => col(v.name)): _*))
@@ -259,6 +337,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       val child         = Rule(parent.rule.head, parent.rule.body :+ newAtom)
       val ok = supp >= supportThreshold(headRel(parent.rule)) &&
         !bias.excludedRelations.contains(rel) &&
+        !config.bodyExcludedRelations.contains(rel) &&
         !parent.rule.atoms.contains(newAtom) &&
         child.relationOccurrences(rel) <= config.maxRelationOccurrence
       if (ok) {
@@ -312,7 +391,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         val hv = countVarsOf(r)
         val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                  else countDistinct(struct(hv.map(v => col(v.name)): _*))
-        QueryBuilder.bindings(kb, r.atoms).agg(cd.as("supp"))
+        QueryBuilder.bindings(kb, r.atoms ++ bias.countConstraints(metrics, r),
+            Some(stats)).agg(cd.as("supp"))
           .select(lit(i).as("id"), col("supp"))
       }
       val supps = Jobs.collectChunked(parts.toSeq, Metrics.JobChunk)
@@ -354,9 +434,22 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
    * it strictly reduces the variable count, which bounds the recursion.
    */
   private def instantiateLevel(nodes: Seq[Node], outputConf: Map[String, Double]): Seq[Node] = {
+    // -itr / -iexr (AMIEOptions): an open variable belongs to exactly
+    // one real atom; its relation gates whether the variable may be
+    // instantiated (the reference applies the filter to the dangling
+    // atom being instantiated, DMA getInstantiatedAtoms)
+    def instantiable(r: Rule, v: Var): Boolean =
+      r.atoms.filterNot(_.isPseudo).find(_.vars.contains(v))
+        .flatMap(_.p match { case Const(p) => Some(p); case _ => None })
+        .forall { p =>
+          (config.instantiationTargetRelations.isEmpty ||
+            config.instantiationTargetRelations.contains(p)) &&
+          !config.instantiationExcludedRelations.contains(p)
+        }
     val tasks = for {
       (n, i) <- nodes.zipWithIndex
       v      <- n.rule.openVars
+      if instantiable(n.rule, v)
     } yield (i, v)
     if (tasks.isEmpty) return Nil
 
@@ -375,7 +468,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       val cd =
         if (rest.size == 1) countDistinct(col(rest.head.name))
         else countDistinct(struct(rest.map(h => col(h.name)): _*))
-      QueryBuilder.bindings(kb, r.atoms)
+      QueryBuilder.bindings(kb, r.atoms ++ bias.countConstraints(metrics, r),
+          Some(stats))
         .groupBy(col(v.name)).agg(cd.as("supp"))
         .select(lit(taskId).as("task_id"), col(v.name).as("c"), col("supp"))
     }

@@ -55,9 +55,64 @@ sealed trait MiningBias {
     * `signatured` bias adds `type(x, domain(rh))` / `type(y, range(rh))`,
     * RelationSignatureDefaultMiningAssistant.java:49-86). Default: none. */
   def typeConstraints(r: Rule): List[graft.kb.Atom] = Nil
+
+  /** Extra atoms appended to SUPPORT-like counts only (candidate
+    * counting, rule support, head size) — NOT to the confidence
+    * denominators, mirroring the seeds-count assistant where
+    * `seedsCardinality` restricts support to the schema-subject set but
+    * the base class computes body/PCA sizes unrestricted
+    * (SeedsCountMiningAssistant.java:81-90 + MiningAssistant
+    * calculateConfidenceMetrics). Default: none. */
+  def countConstraints(metrics: Metrics, r: Rule): List[graft.kb.Atom] = Nil
+
+  /** May this rule be emitted? Base: closed rules only
+    * (MiningAssistant.shouldBeOutput, MA:949-951). */
+  def acceptForOutput(r: Rule): Boolean = r.isClosed
+
+  /** Denominator of the SupportRatio output column (the seeds-count
+    * assistant's getTotalCount returns the schema subject count,
+    * SeedsCountMiningAssistant.java:35-37). None = KB fact count. */
+  def supportRatioDenom: Option[Long] = None
+
+  /** Also seed rules with the head instantiated in the non-functional
+    * argument (`⇒ r(x, C)` — InstantiatedHeadMiningAssistant
+    * .getInitialAtoms). */
+  def instantiatedHeadSeeds: Boolean = false
+
+  /** May variable `name` stay open in an emitted rule? Drives the
+    * last-level closing requirement (DMA:127-137 max-length pruning):
+    * a closing atom at the depth limit must leave open only variables
+    * the bias's output criterion tolerates. Base: none. */
+  def mayStayOpenAtOutput(r: Rule, name: String): Boolean = false
 }
 
 object MiningBias {
+
+  /** Synthetic relation carrying the seed-subject set for the
+    * seeds-count bias. */
+  val SeedRelation = "graft:seedSubject"
+
+  /** Union `kb` with one `SeedRelation` fact per distinct subject of
+    * `schema` and return (the augmented KB, the seed count) — the Spark
+    * re-expression of the reference's separate schema KB
+    * (SeedsCountMiningAssistant constructor: allSubjects =
+    * schemaSource.selectDistinct(subject)). The seed set rides in the
+    * KB as ordinary facts so every counting job can restrict by one
+    * more join; the bias bans the relation from rules. */
+  def withSeedSubjects(
+      kb: org.apache.spark.sql.DataFrame,
+      schema: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
+    import org.apache.spark.sql.functions._
+    val seeds = schema.select("subj").distinct()
+    val facts = seeds.select(col("subj"),
+      lit(SeedRelation).as("pred"), lit("1").as("obj"))
+    (kb.select("subj", "pred", "obj").union(facts), seeds.count())
+  }
+
+  /** Distinct-subject count of a KB (seeds-count helper for the common
+    * schema-is-the-data-KB invocation). */
+  def distinctSubjectCount(kb: org.apache.spark.sql.DataFrame): Long =
+    kb.select("subj").distinct().count()
 
   /** DefaultMiningAssistant: support = #distinct bindings of BOTH head
     * variables (DMA:636-655). */
@@ -162,5 +217,64 @@ object MiningBias {
       }
       dom ++ rng
     }
+  }
+
+  /**
+   * SeedsCountMiningAssistant (experimental/SeedsCountMiningAssistant
+   * .java:17-90): support = #distinct bindings of the FUNCTIONAL head
+   * variable restricted to a seed-subject set (the reference's schema
+   * KB subjects), confidence denominators unrestricted, supportRatio =
+   * support / #seeds. Build the KB with [[MiningBias.withSeedSubjects]];
+   * the restriction is one extra atom over the synthetic seed relation
+   * in every support-like count (a semi-join in the compiled plan).
+   */
+  final case class SeedsCount(
+      seedCount: Long,
+      seedRelation: String = MiningBias.SeedRelation) extends MiningBias {
+
+    def countVars(metrics: Metrics, r: Rule): Seq[Var] =
+      OneVar.countVars(metrics, r)
+
+    override def countConstraints(metrics: Metrics, r: Rule): List[graft.kb.Atom] =
+      countVars(metrics, r).headOption.map { v =>
+        graft.kb.Atom(v, Const(seedRelation), Var("__seed"))
+      }.toList
+
+    override val excludedRelations: Set[String] = Set(seedRelation)
+    override def supportRatioDenom: Option[Long] = Some(seedCount)
+  }
+
+  /** InstantiatedHeadMiningAssistant (experimental/
+    * InstantiatedHeadMiningAssistant.java:17-120): seeds additionally
+    * include `⇒ r(x, C)` for every constant C of the head's
+    * non-functional argument with enough support; counting always on
+    * the functional variable. */
+  case object InstantiatedHead extends MiningBias {
+    def countVars(metrics: Metrics, r: Rule): Seq[Var] =
+      OneVar.countVars(metrics, r)
+    override def instantiatedHeadSeeds: Boolean = true
+  }
+
+  /**
+   * ExistentialRulesHeadVariablesMiningAssistant (experimental/
+   * ExistentialRulesHeadVariablesMiningAssistant.java:20-136): also
+   * emit rules where a HEAD variable stays open (body-only variables
+   * must still close; single-atom seeds are never output, matching the
+   * reference's length guard at :109-111). Confidence denominators are
+   * computed over the body-bound counting variables — the open head
+   * variable is constrained only by the head atom, so it cannot appear
+   * in a body-only count (the reference hits the same shape as an
+   * UnsupportedOperationException fallback; here it is handled
+   * explicitly in Metrics.scoreAll).
+   */
+  case object Existential extends MiningBias {
+    def countVars(metrics: Metrics, r: Rule): Seq[Var] = r.headVars
+    override def acceptForOutput(r: Rule): Boolean = {
+      if (r.length < 2) return false
+      val headVarNames = r.headVars.map(_.name).toSet
+      r.openVars.forall(v => headVarNames(v.name))
+    }
+    override def mayStayOpenAtOutput(r: Rule, name: String): Boolean =
+      r.headVars.exists(_.name == name)
   }
 }
