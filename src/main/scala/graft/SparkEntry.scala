@@ -281,6 +281,42 @@ object SparkEntry {
     // ---- §2.9 full mining run over the dimension subgraph (rows-only
     //      check: the BFS search is not SQL-expressible; its metric layer
     //      is oracle-checked by kb_rule_metrics)
+    // ---- §2.1 typing KB (SimpleTypingKB): class/relation entity-set
+    //      view; the core probe is |entities(cls) ∩ entities(rel)|
+    "kb_typing_overlap" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val typeFacts = ev.select(
+        concat(lit("u"), col("user_id")).as("subj"),
+        lit("rdf:type").as("pred"), col("event_type").as("obj"))
+      val relFacts = ev.select(
+        concat(lit("u"), col("user_id")).as("subj"),
+        concat(lit("did_"), col("event_type")).as("pred"),
+        concat(lit("e"), col("event_id")).as("obj"))
+      TypingKB.classRelationOverlap(
+        TypingKB.fromTriples(typeFacts.union(relFacts)))
+    },
+
+    // ---- §2.1 multilingual fact rewriting (MultilingualKB load hook):
+    //      label@lang objects spawn <label>/<lang> facts
+    "kb_multilingual" -> { (s, dir) =>
+      val facts = t(s, dir, "documents").select(
+        concat(lit("d"), col("doc_id")).as("subj"),
+        lit("hasLabel").as("pred"),
+        concat(substring(col("text"), 1, 20), lit("@"), col("lang")).as("obj"))
+      graft.sources.LangFacts.splitLangLiterals(facts)
+    },
+
+    // ---- §2.6 batch append/retract with set semantics (KB delete +
+    //      index maintenance re-expressed as anti-join ∪ additions)
+    "kb_delta" -> { (s, dir) =>
+      val kb   = tpchTriples(s, dir)
+      val dels = kb.where(col("pred") === "custNation" && col("obj") === "n1")
+      val adds = t(s, dir, "customer").where(col("c_custkey") <= 50)
+        .select(concat(lit("c"), col("c_custkey")).as("subj"),
+          lit("custSegment").as("pred"), col("c_mktsegment").as("obj"))
+      KBDelta(kb, adds, dels)
+    },
+
     // ---- §2.9/§2.10 depth-2 mining run, FULLY SQL-oracled: at
     //      maxDepth=2 the BFS degenerates to closing-only refinement, so
     //      the emitted rule set and all 12 output columns are expressible
@@ -670,6 +706,35 @@ object SparkEntry {
          |FROM d""".stripMargin)
 
   def oracleSql: Map[String, String] = trainingOracle ++ Map(
+    "kb_typing_overlap" ->
+      """WITH type_facts AS (
+        |  SELECT DISTINCT event_type AS cls, 'u' || user_id AS entity FROM events),
+        |rel_facts AS (
+        |  SELECT DISTINCT 'did_' || event_type AS rel, 'u' || user_id AS entity FROM events
+        |  UNION SELECT DISTINCT 'did_' || event_type || '-1', 'e' || event_id FROM events)
+        |SELECT cls, rel, count(*) AS overlap
+        |FROM type_facts JOIN rel_facts USING (entity)
+        |GROUP BY cls, rel""".stripMargin,
+    "kb_multilingual" ->
+      """WITH f AS (
+        |  SELECT 'd' || doc_id AS subj, 'hasLabel' AS pred,
+        |         substr(text, 1, 20) || '@' || lang AS obj FROM documents),
+        |tagged AS (
+        |  SELECT obj, regexp_extract(obj, '^([^@]*)@([^@]*)$', 1) AS l,
+        |         regexp_extract(obj, '^([^@]*)@([^@]*)$', 2) AS g
+        |  FROM f WHERE regexp_matches(obj, '^([^@]*)@([^@]*)$'))
+        |SELECT subj, pred, obj FROM f
+        |UNION ALL SELECT obj, '<label>', l FROM tagged
+        |UNION ALL SELECT obj, '<lang>', g FROM tagged""".stripMargin,
+    "kb_delta" ->
+      s"""$triplesCte
+         |SELECT subj, pred, obj FROM (
+         |  SELECT subj, pred, obj FROM triples
+         |  EXCEPT
+         |  SELECT subj, pred, obj FROM triples WHERE pred = 'custNation' AND obj = 'n1')
+         |UNION
+         |SELECT 'c' || c_custkey, 'custSegment', c_mktsegment
+         |FROM customer WHERE c_custkey <= 50""".stripMargin,
     // Depth-2 mining in SQL: enumerate (body-relation, orientation,
     // head-relation) candidates over the same 4-relation KB as
     // SparkEntry.miningKB, compute support / head-coverage / std / PCA

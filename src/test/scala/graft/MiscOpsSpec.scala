@@ -2,6 +2,7 @@ package graft
 
 import graft.kb._
 import graft.mine._
+import graft.sources.LangFacts
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Parser round-trips (ports of the reference's TestKBTripleParsing /
@@ -210,5 +211,60 @@ class MiscOpsSpec extends AnyFunSuite {
         Atom(Var("x"), Const("r2"), Var("z")),
         Atom(Var("z"), Const("r3"), Var("w"))))
     assert(!m.containsSinglePath(branch))
+  }
+
+  test("TypingKB: class/relation entity sets with synthetic inverses (SimpleTypingKB)") {
+    import spark.implicits._
+    val kb = Seq(
+      Triple("a", "rdf:type", "Person"), Triple("b", "rdf:type", "Person"),
+      Triple("a", "rdf:type", "Person"), // duplicate collapses
+      Triple("Person", "rdfs:subClassOf", "Agent"),
+      Triple("a", "knows", "b"), Triple("a", "knows", "c")).toDF()
+    val t = TypingKB.fromTriples(kb)
+    assert(TypingKB.classSizes(t).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      == Map("Person" -> 2L))
+    val rs = TypingKB.relationSizes(t).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rs == Map("knows" -> 1L, "knows-1" -> 2L)) // subj set {a}; obj set {b,c}
+    assert(t.subClassOf.count() == 1)
+    val ov = TypingKB.classRelationOverlap(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(ov == Map(("Person", "knows") -> 1L, ("Person", "knows-1") -> 1L))
+  }
+
+  test("LangFacts: exactly-one-@ objects spawn label/lang facts (MultilingualKB)") {
+    import spark.implicits._
+    val kb = Seq(
+      Triple("x", "label", "Paris@fr"),
+      Triple("y", "label", "no-tag"),
+      Triple("z", "label", "a@b@c"), // two @ — untouched (split length 3)
+      Triple("w", "label", "@en")    // empty label — still length-2 split
+    ).toDF()
+    val out = LangFacts.splitLangLiterals(kb).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(out == Set(
+      ("x", "label", "Paris@fr"), ("y", "label", "no-tag"),
+      ("z", "label", "a@b@c"), ("w", "label", "@en"),
+      ("Paris@fr", "<label>", "Paris"), ("Paris@fr", "<lang>", "fr"),
+      ("@en", "<label>", ""), ("@en", "<lang>", "en")))
+  }
+
+  test("KBDelta: set-semantics apply + incremental stats refresh is exact") {
+    import spark.implicits._
+    val kb = Seq(
+      Triple("a", "r1", "x"), Triple("b", "r1", "x"), Triple("c", "r2", "y"),
+      Triple("d", "r3", "z")).toDF()
+    val dels = Seq(Triple("b", "r1", "x"), Triple("d", "r3", "z")).toDF()
+    val adds = Seq(Triple("e", "r1", "w"), Triple("a", "r1", "x"), // re-add existing: set semantics
+      Triple("f", "r4", "q")).toDF()
+    val next = KBDelta(kb, adds, dels)
+    val got = next.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(("a", "r1", "x"), ("c", "r2", "y"),
+      ("e", "r1", "w"), ("f", "r4", "q")))
+    // incremental refresh touches r1/r3/r4 only, yet equals full recompute
+    val refreshed = KBDelta.refreshStats(KGStats.compute(kb), next, adds, dels)
+    val full      = KGStats.compute(next)
+    assert(refreshed.relations == full.relations)
+    assert(refreshed.totalFacts == full.totalFacts)
+    assert(!refreshed.relations.contains("r3")) // fully-deleted relation drops out
   }
 }
