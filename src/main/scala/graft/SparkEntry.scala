@@ -426,7 +426,8 @@ object SparkEntry {
     "text_simhash"      -> ((s, dir) => Dedup.simhash(t(s, dir, "documents"))),
     "dedup_exact"       -> ((s, dir) => Dedup.exact(t(s, dir, "documents"))),
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(t(s, dir, "documents"), minJaccard = 0.3)),
+      Dedup.ngramJaccard(t(s, dir, "documents"), minJaccard = 0.3,
+        maxShingleDF = 50)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(t(s, dir, "documents"))),
     // maxHamming = 3 < SimBands keeps the banded candidate join EXACT
     // (recall 1.0), so the all-pairs DuckDB oracle independently verifies
@@ -438,7 +439,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), nQueries = 10, k = 5)),
     "sim_lsh_topk" -> ((s, dir) =>
-      Similarity.lshTopK(t(s, dir, "embeddings"), planes = 8, k = 3)),
+      Similarity.lshTopK(t(s, dir, "embeddings"), bands = 2, planes = 8, k = 3)),
     "media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.assetsFromDocs(t(s, dir, "documents")))),
     "media_decode" -> { (s, dir) =>
@@ -560,10 +561,19 @@ object SparkEntry {
        |       THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) * $v[i]::DOUBLE)), (p, q) -> p + q)"""
       .stripMargin.replace("\n", " ")
 
-  private def lshBucketSql(v: String): String =
+  private def lshBucketSql(v: String, band: Int = 0): String =
     (0 until 8).map(j =>
-      s"(CASE WHEN ${planeDotSql(j, v)} >= 0 THEN ${1L << j} ELSE 0 END)")
+      s"(CASE WHEN ${planeDotSql(band * 8 + j, v)} >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
+
+  /** Banded candidate CTE mirroring Similarity.bandedBuckets /
+    * bandedCandidates with bands = 2, planes = 8. */
+  private def bandedCandSql: String =
+    s"""bk AS (
+       |  SELECT vec_id, 0 AS band, ${lshBucketSql("embedding", 0)} AS bucket FROM embeddings
+       |  UNION ALL SELECT vec_id, 1, ${lshBucketSql("embedding", 1)} FROM embeddings),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+       |  FROM bk a JOIN bk bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)""".stripMargin
 
   private def assetsCte: String =
     s"""assets AS (SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
@@ -597,9 +607,14 @@ object SparkEntry {
          |sh AS (SELECT doc_id, source,
          |  unnest(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS ng
          |  FROM t WHERE len(toks) >= 2),
+         |keepng AS (SELECT source, ng FROM sh GROUP BY source, ng HAVING count(*) <= 50),
+         |capped AS (SELECT sh.doc_id, sh.source, sh.ng FROM sh JOIN keepng USING (source, ng)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id),
          |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-         |  FROM sh a JOIN sh b ON a.source = b.source AND a.ng = b.ng AND a.doc_id < b.doc_id
+         |inter AS (SELECT cand.doc_a, cand.doc_b, count(*) AS inter
+         |  FROM cand JOIN sh a ON a.doc_id = cand.doc_a
+         |            JOIN sh b ON b.doc_id = cand.doc_b AND b.ng = a.ng
          |  GROUP BY 1, 2)
          |SELECT doc_a, doc_b,
          |  CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
@@ -671,10 +686,11 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "dedup_embedding" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings)
-         |SELECT a.vec_id AS id_a, bb.vec_id AS id_b, ${cosSql("a.embedding", "bb.embedding")} AS cos
-         |FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
-         |WHERE ${cosSql("a.embedding", "bb.embedding")} >= 0.3""".stripMargin,
+      s"""WITH $bandedCandSql
+         |SELECT id_a, id_b, ${cosSql("e1.embedding", "e2.embedding")} AS cos
+         |FROM cand JOIN embeddings e1 ON e1.vec_id = id_a
+         |          JOIN embeddings e2 ON e2.vec_id = id_b
+         |WHERE ${cosSql("e1.embedding", "e2.embedding")} >= 0.3""".stripMargin,
     "sim_bruteforce_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
          |p AS (SELECT query_id, e.vec_id AS neighbor_id, ${cosSql("qe", "e.embedding")} AS score
@@ -682,10 +698,12 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
          |SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= 5""".stripMargin,
     "sim_lsh_topk" ->
-      s"""WITH b AS (SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket FROM embeddings),
-         |p AS (SELECT a.vec_id AS query_id, bb.vec_id AS neighbor_id,
-         |    ${cosSql("a.embedding", "bb.embedding")} AS score
-         |  FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id <> bb.vec_id),
+      s"""WITH $bandedCandSql,
+         |sym AS (SELECT id_a AS query_id, id_b AS neighbor_id FROM cand
+         |        UNION ALL SELECT id_b, id_a FROM cand),
+         |p AS (SELECT query_id, neighbor_id, ${cosSql("e1.embedding", "e2.embedding")} AS score
+         |  FROM sym JOIN embeddings e1 ON e1.vec_id = query_id
+         |           JOIN embeddings e2 ON e2.vec_id = neighbor_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
     "media_stats" ->

@@ -47,15 +47,48 @@ object Dedup {
    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) ≥ `minJaccard`, doc_a < doc_b.
    * Intersections come from one self-join on the shingle (shuffle on
    * `ng`), sizes from one aggregation — no quadratic all-pairs scan.
+   *
+   * `maxShingleDF` > 0 enables the stop-shingle cut an open-domain
+   * corpus needs: a globally frequent bigram ("of the") is a hot join
+   * key whose bucket degenerates toward the block quadratic. Candidate
+   * pairs are then found only through shingles with document frequency
+   * ≤ the cap, and each candidate's jaccard is verified EXACTLY over the
+   * full shingle sets — so emitted values are exact, and only pairs
+   * whose every shared shingle is ubiquitous can be missed (such pairs
+   * share almost nothing distinctive — the standard LSH-style recall
+   * trade, made explicit).
    */
-  def ngramJaccard(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, minJaccard: Double, maxShingleDF: Int = 0): DataFrame = {
     val sh    = shingles(docs)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.source") === col("b.source") && col("a.ng") === col("b.ng") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter =
+      if (maxShingleDF <= 0) {
+        sh.as("a").join(sh.as("b"),
+            col("a.source") === col("b.source") && col("a.ng") === col("b.ng") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        // phase 1: candidates through capped shingles only (shingles are
+        // distinct per doc, so count(*) per (source, ng) IS the doc freq)
+        val dfc = sh.groupBy("source", "ng")
+          .agg(count(lit(1)).as("dfc"))
+          .where(col("dfc") <= maxShingleDF)
+          .select("source", "ng")
+        val capped = sh.join(dfc, Seq("source", "ng"), "left_semi")
+        val cand = capped.as("a").join(capped.as("b"),
+            col("a.source") === col("b.source") && col("a.ng") === col("b.ng") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        // phase 2: exact intersection over the FULL shingle sets,
+        // restricted to candidates (shuffles on doc ids, never on the
+        // hot shingle)
+        cand
+          .join(sh.select(col("doc_id").as("doc_a"), col("ng")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("ng")), Seq("doc_b", "ng"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+      }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")

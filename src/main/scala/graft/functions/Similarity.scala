@@ -64,15 +64,50 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed ANN: top-k cosine neighbors *within the same sign
-   * bucket*. The join is keyed on the bucket — cost ∝ Σ bucket², not n².
+   * Banded multi-table hyperplane LSH — the MinHash banding idea applied
+   * to Charikar sign hashes: `bands` INDEPENDENT hyperplane tables of
+   * `planes` planes each (table b uses planes b·planes … b·planes+planes−1,
+   * so band 0 equals the single-table [[lshBucket]] signature); a pair is
+   * a candidate iff all signs agree in SOME band. This is the scale path
+   * the fixed 2^planes single table lacks: bucket occupancy shrinks
+   * geometrically as `planes` grows with n (keeping the bucket join
+   * near-linear), while recall is recovered by OR-composing bands —
+   * recall ≈ 1−(1−(1−θ/π)^planes)^bands for angle θ, tunable without
+   * re-coupling to occupancy. One row per (vector, band).
    */
-  def lshTopK(emb: DataFrame, planes: Int, k: Int): DataFrame = {
-    val b = lshBucket(emb, planes)
-    val pairs = b.select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("bucket"))
-      .join(b.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"), col("bucket")),
-        Seq("bucket"))
-      .where(col("query_id") =!= col("neighbor_id"))
+  def bandedBuckets(emb: DataFrame, bands: Int, planes: Int): DataFrame = {
+    val bandBuckets = array((0 until bands).map { b =>
+      (0 until planes)
+        .map(j => when(planeDot(b * planes + j) >= 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+    }: _*)
+    emb.select(col("vec_id"), col("embedding"),
+        posexplode(bandBuckets).as(Seq("band", "bucket")))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) sharing any band bucket.
+    * The (band, bucket) join key means cost ∝ Σ occupancy² per band;
+    * dedup happens BEFORE any cosine is computed. */
+  private def bandedCandidates(b: DataFrame): DataFrame =
+    b.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
+      .join(b.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+  /**
+   * LSH-bucketed ANN: top-k cosine neighbors among candidates sharing
+   * ANY band bucket (banded multi-table — see [[bandedBuckets]]). Each
+   * candidate pair is scored ONCE (dedup before the cosine), then ranked
+   * per query. Symmetric candidates: (a,b) produces both directions.
+   */
+  def lshTopK(emb: DataFrame, bands: Int, planes: Int, k: Int): DataFrame = {
+    val cand = bandedCandidates(bandedBuckets(emb, bands, planes))
+    val sym = cand.union(cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
+    val pairs = sym
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
       .withColumn("score", cosineExpr("qe", "ne"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
@@ -81,17 +116,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Embedding-cosine near-duplicates: pairs in the same random-hyperplane
-    * sign bucket with cosine ≥ minCosine, id_a < id_b. The bucket join
-    * replaces the earlier label-block pair join (quadratic within a block
-    * whose size grows with the data): cost ∝ Σ bucket², recall tuned by
-    * `planes` — the same scale path as [[lshTopK]]. */
-  def embeddingNearDups(emb: DataFrame, minCosine: Double, planes: Int = 8): DataFrame = {
-    val b = lshBucket(emb, planes)
-    b.select(col("vec_id").as("id_a"), col("embedding").as("qe"), col("bucket"))
-      .join(b.select(col("vec_id").as("id_b"), col("embedding").as("ne"), col("bucket")),
-        Seq("bucket"))
-      .where(col("id_a") < col("id_b"))
+  /** Embedding-cosine near-duplicates over the banded candidate set:
+    * pairs sharing any band bucket with cosine ≥ minCosine, id_a < id_b.
+    * Cost ∝ Σ per-band occupancy² + one cosine per DISTINCT candidate. */
+  def embeddingNearDups(
+      emb: DataFrame, minCosine: Double, bands: Int = 2, planes: Int = 8): DataFrame = {
+    bandedCandidates(bandedBuckets(emb, bands, planes))
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("qe")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("ne")), "id_b")
       .withColumn("cos", cosineExpr("qe", "ne"))
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
