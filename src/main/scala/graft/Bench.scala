@@ -42,7 +42,8 @@ object Bench {
    * true cost. Falls back to an unpinned subprocess without taskset.
    */
   private def pipelineRun(
-      cores: Int, nDocs: Long, nEntities: Int, reps: Int): (Long, Double) = {
+      cores: Int, nDocs: Long, nEntities: Int, reps: Int,
+      pinOffset: Int = 0): (Long, Double) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -59,8 +60,9 @@ object Bench {
     // harness's own processes sit on low core ids, and the 1-CPU level is
     // the most sensitive to sharing its single core
     val nproc  = Runtime.getRuntime.availableProcessors()
-    val first  = math.max(0, nproc - cores)
-    val prefix = if (pinned) Seq("taskset", "-c", s"$first-${nproc - 1}") else Nil
+    val first  = math.max(0, nproc - cores - pinOffset)
+    val prefix = if (pinned) Seq("taskset", "-c", s"$first-${first + cores - 1}")
+                 else Nil
     val cmd = prefix ++ Seq(javaBin) ++ addOpens ++ Seq(
       s"-Xmx$mem", "-Dspark.ui.enabled=false",
       "-cp", System.getProperty("java.class.path"),
@@ -114,10 +116,13 @@ object Bench {
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val innerRepsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS", "2").toInt
     val innerReps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS_4N", "3").toInt
-    val scaling = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")) "" else {
+
+    /** One N → 4N pinned pair measured over `reps` interleaved JVM
+      * rounds; returns the JSON fragment for key `label`. */
+    def measurePair(label: String, nCores: Int): String = {
       val pairs = (1 to reps).map { _ =>
-        (pipelineRun(n, docs, vocab, innerRepsN),
-          pipelineRun(4 * n, docs, vocab, innerReps4N))
+        (pipelineRun(nCores, docs, vocab, innerRepsN),
+          pipelineRun(4 * nCores, docs, vocab, innerReps4N))
       }
       val t1 = pairs.head._1._1
       val t4 = pairs.head._2._1
@@ -132,10 +137,72 @@ object Bench {
       val roundsJson = pairs.zip(roundEffs).map { case (((_, sn), (_, s4n)), e) =>
         f"""{"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
-      f""""pipeline":{"docs":$docs,"triples":$t4,"cores_n":$n,"cores_4n":${4 * n},""" +
+      f""""$label":{"docs":$docs,"triples":$t4,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
         f""""sec_n":$s1%.3f,"sec_4n":$s4%.3f,"tps_n":$tpsN%.1f,"tps_4n":$tps4N%.1f,""" +
         f""""rounds":$roundsJson,"scaling_efficiency_floor":$effFloor%.3f,""" +
         f""""scaling_efficiency":$effMedian%.3f},"""
+    }
+
+    /**
+     * Executor-proxy probe (weak scaling over PROCESSES): one pinned
+     * `coresEach`-core JVM running a 1/procs-sized shard SOLO, vs
+     * `procs` identical JVMs running the same shard size CONCURRENTLY
+     * on disjoint pinned cores — adjacent in time per round. Going from
+     * N to 4N executors on a cluster means 4× as many executor
+     * processes each doing 1/4 of the work; what can break the ≥0.8
+     * criterion at the machine level is executors DEGRADING each other
+     * (shared LLC / memory channels / disks). This probe measures
+     * exactly that degradation with the real workload: efficiency =
+     * T_solo / max(T_concurrent). Per-process fixed costs (JIT,
+     * vocabulary-sized canonicalization) appear identically on both
+     * sides, so they cancel — unlike the thread-pair ratios, where the
+     * shared-JVM regime itself is the confound.
+     */
+    def measureProcScaling(label: String, coresEach: Int, procs: Int,
+        rounds: Int): String = {
+      val shard = docs / procs
+      val roundRows = (1 to rounds).map { _ =>
+        val (_, solo) = pipelineRun(coresEach, shard, vocab, innerRepsN)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(procs)
+        val concSecs = try {
+          import scala.jdk.CollectionConverters._
+          val tasks = (0 until procs).map { i =>
+            new java.util.concurrent.Callable[Double] {
+              def call(): Double =
+                pipelineRun(coresEach, shard, vocab, innerRepsN,
+                  pinOffset = i * coresEach)._2
+            }
+          }
+          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+        } finally pool.shutdown()
+        // AGGREGATE-throughput ratio: Σ shard rates vs procs × solo rate.
+        // (max-shard would let a single ambient CPU-steal spike on one
+        // core pair masquerade as contention; the sum is what a cluster's
+        // job throughput actually is)
+        val eff = solo * concSecs.map(1.0 / _).sum / procs
+        (solo, concSecs, eff)
+      }
+      val effMedian = roundRows.map(_._3).sorted.apply((roundRows.size - 1) / 2)
+      val rjs = roundRows.map { case (s0, cs, e) =>
+        val csJson = cs.map(c => f"$c%.3f").mkString("[", ",", "]")
+        f"""{"sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
+      }.mkString("[", ",", "]")
+      f""""$label":{"procs":$procs,"cores_each":$coresEach,"docs_per_proc":$shard,""" +
+        f""""rounds":$rjs,"scaling_efficiency":$effMedian%.3f},"""
+    }
+
+    val scaling = if (sys.env.contains("SPARK_GRAFT_BENCH_SKIP_SCALING")) "" else {
+      // primary pair N → 4N, plus a second, WIDER pinned pair (default
+      // 2 → 8) so the ≥0.8 cluster-size criterion is evidenced at two
+      // core scales instead of extrapolated from one (VERDICT r2), plus
+      // the process-level executor proxy at the wide scale. Set
+      // SPARK_GRAFT_BENCH_N2=0 / _PROC_ROUNDS=0 to skip.
+      val n2 = sys.env.getOrElse("SPARK_GRAFT_BENCH_N2", "2").toInt
+      val procRounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_PROC_ROUNDS", "3").toInt
+      val second = if (n2 <= 0 || n2 == n) "" else measurePair("pipeline_wide", n2)
+      val procsJ = if (n2 <= 0 || procRounds <= 0) ""
+                   else measureProcScaling("pipeline_procs", n2, 4, procRounds)
+      measurePair("pipeline", n) + second + procsJ
     }
 
     // ---- part 2: operator queries at the driver's SF dir ----
