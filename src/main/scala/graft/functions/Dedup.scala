@@ -59,7 +59,11 @@ object Dedup {
    * trade, made explicit).
    */
   def ngramJaccard(docs: DataFrame, minJaccard: Double, maxShingleDF: Int = 0): DataFrame = {
-    val sh    = shingles(docs)
+    // the shingle set feeds sizes + DF counts + the candidate self-join +
+    // the exact verify join — persist it instead of re-tokenizing the
+    // corpus per consumer (eviction just recomputes)
+    val sh = shingles(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (maxShingleDF <= 0) {

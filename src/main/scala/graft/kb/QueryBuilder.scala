@@ -114,7 +114,7 @@ object QueryBuilder {
    * through the weakly-selective body join before the template join
    * shrinks it again.
    */
-  private def cardinalityOrder(atoms: Seq[Atom], st: KGStats): Seq[Atom] = {
+  private[graft] def cardinalityOrder(atoms: Seq[Atom], st: KGStats): Seq[Atom] = {
     if (atoms.size <= 2) return connectivityOrder(atoms)
     val totalSize = math.max(1L, st.totalFacts).toDouble
     val totalDs   = math.max(1L, st.relations.values.map(_.distinctSubj).sum).toDouble

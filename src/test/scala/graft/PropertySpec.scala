@@ -204,4 +204,25 @@ class PropertySpec extends AnyFunSuite {
       if (i % 4 == 0) assert(eq)
     }
   }
+
+  test("cardinality ordering schedules the selective template before the exploding head join") {
+    // head h(x,y) ∧ body b(z,y) ∧ template cand(z,x) — the miner's hot
+    // closing-template shape (15k-subject head, 1k-subject body, 25
+    // shared object values). Syntactic order joins b⨝h on the 25-value
+    // y second (600k-row explosion); the estimator must grow from the
+    // small body through the subject-selective template (1k rows) and
+    // join the fat head LAST (both its variables then bound)
+    val stats = KGStats(Map(
+      "h" -> RelationStats("h", 15000, 15000, 25),
+      "b" -> RelationStats("b", 1000, 1000, 25)), 16000)
+    val h   = Atom(Var("x"), Const("h"), Var("y"))
+    val b   = Atom(Var("z"), Const("b"), Var("y"))
+    val tpl = Atom(Var("z"), Var("cand"), Var("x"))
+    val ordered = QueryBuilder.cardinalityOrder(Seq(h, b, tpl), stats)
+    assert(ordered == Seq(b, tpl, h), s"got: $ordered")
+    // ordering never drops or duplicates atoms
+    assert(ordered.toSet == Set(h, b, tpl) && ordered.size == 3)
+    // with ≤ 2 atoms the connectivity order is kept verbatim
+    assert(QueryBuilder.cardinalityOrder(Seq(h, b), stats) == Seq(h, b))
+  }
 }
