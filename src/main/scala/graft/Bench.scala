@@ -211,8 +211,22 @@ object Bench {
     // optional comma-separated filter for iterating on single queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val sweep = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
+    // steady-state sweep: each query's code path is warmed ONCE against
+    // the tiny sf0.001 tables before any timing — without it, whichever
+    // query alphabetically first touches a code path (tokenization,
+    // minhash, cosine folds) absorbs ~10 s of one-time JIT/codegen that
+    // has nothing to do with that operator's cost (measured:
+    // dedup_clusters 17.7 s cold vs 4.3 s steady on identical input).
+    // Same rationale as the pinned pipeline levels' warm-up rep.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARM_DIR",
+      "/root/testdata/sf0.001")
+    if (warmDir.nonEmpty && new java.io.File(warmDir).isDirectory)
+      sweep.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
+    val results = sweep
       .map { case (name, fn) =>
       val (_, sec) = timed {
         try fn(spark, sfDir).count()

@@ -127,7 +127,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame): DataFrame =
     signaturesFromShingles(shingles(docs))
 
-  private def signaturesFromShingles(sh: DataFrame): DataFrame = {
+  private[graft] def signaturesFromShingles(sh: DataFrame): DataFrame = {
     val h = sh.select(col("doc_id"), expr(s"${tokHash32("ng")} % $P").as("h"))
     val aggs = (0 until Bands * Rows).map(i =>
       min(expr(s"(${A(i)} * h + ${B(i)}) % $P")).as(s"mh$i"))
@@ -143,7 +143,7 @@ object Dedup {
   def minhashLsh(docs: DataFrame): DataFrame =
     lshFromSignatures(minhashSignatures(docs))
 
-  private def lshFromSignatures(sig: DataFrame): DataFrame = {
+  private[graft] def lshFromSignatures(sig: DataFrame): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -181,11 +181,17 @@ object Dedup {
         Seq("doc_id"), "left_semi")
       .localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.ng") === col("b.ng") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(cand, Seq("doc_a", "doc_b"), "left_semi") // only LSH candidates
+    // candidate-pair-FIRST intersection (the ngramJaccard phase-2 shape):
+    // join the pair list against each side's shingles, keyed by doc id.
+    // The previous shape self-joined all candidate docs' shingles on the
+    // raw shingle key and filtered to candidate pairs only after the
+    // aggregate — a globally frequent bigram across candidate docs made
+    // that join near-quadratic (measured: the verify step dominated the
+    // whole clustering query).
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("ng")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("ng")), Seq("doc_b", "ng"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     // LENGTH-PREFIX ids for CC: it picks the LEXICOGRAPHIC min as the
     // representative, and "0004|" + id orders shorter-before-longer, which
     // coincides with the numeric min for numeric ids ("10" < "9" under
