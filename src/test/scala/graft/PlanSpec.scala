@@ -109,4 +109,39 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(df)
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
+
+  test("banded LSH candidates join on (band, bucket); lshTopK scores without cartesian") {
+    import spark.implicits._
+    val emb = (1 to 40)
+      .map(i => (i.toLong, Array.fill(8)((i % 5).toFloat + 0.25f), "l1"))
+      .toDF("vec_id", "embedding", "label")
+    val df = graft.functions.Similarity.lshTopK(emb, bands = 2, planes = 8, k = 3)
+    val p  = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair join degenerated:\n$p")
+    // the candidate join's keys are the band + bucket columns
+    assert(p.contains("band") && p.contains("bucket"), s"no banded key:\n$p")
+  }
+
+  test("KB delta compiles to an anti-join plus union, no full-table rewrite shuffle") {
+    val t    = pipeline.triples()
+    val dels = t.where(col("pred") === "worksAt")
+    val adds = t.limit(5)
+    val p = plan(KBDelta(t, adds, dels))
+    // set-semantics delete must be a (Broadcast)HashJoin LeftAnti — not a
+    // cartesian or nested loop
+    assert(p.contains("LeftAnti"), s"no anti-join in delta plan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"delta join degenerated:\n$p")
+  }
+
+  test("typing-KB overlap is one entity-keyed join + one aggregation") {
+    val t  = pipeline.triples()
+    val tk = TypingKB.fromTriples(t, typeRelation = "worksAt")
+    val df = TypingKB.classRelationOverlap(tk)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"overlap join degenerated:\n$p")
+    assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
+  }
 }
