@@ -168,6 +168,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("stats-driven atom ordering never changes bindings, on random conjunctions") {
+    val rng = new scala.util.Random(29)
+    for (i <- 1 to 8) {
+      val kb    = randomKB(rng, 20)
+      val r     = randomRule(rng)
+      val df    = toDF(kb).cache()
+      val stats = KGStats.compute(df)
+      val vs    = r.allVars
+      def rows(d: org.apache.spark.sql.DataFrame) = d
+        .select(vs.map(v => org.apache.spark.sql.functions.col(v.name)): _*)
+        .distinct().collect()
+        .map(row => vs.indices.map(row.getString).toList).toSet
+      val plain   = rows(QueryBuilder.bindings(df, r.atoms))
+      val ordered = rows(QueryBuilder.bindings(df, r.atoms, Some(stats)))
+      withClue(s"case $i rule=$r: ") { assert(ordered == plain) }
+      df.unpersist()
+    }
+  }
+
   // ---------- pure-driver properties (hundreds of cases) ----------
 
   test("canonical form is invariant under variable renaming and body permutation") {
