@@ -121,6 +121,20 @@ class ExperimentalBiasSpec extends AnyFunSuite {
     assert(a.biasName == "lazy")
   }
 
+  test("MineCLI bias resolution: seedsCount augments the KB, typed presets the config") {
+    import spark.implicits._
+    val kb = Seq(Triple("a", "r", "b"), Triple("a", "rdf:type", "T")).toDF()
+    val (kbSeeds, cfgSeeds) = MineCLI.resolve("seedsCount", kb, MinerConfig())
+    assert(cfgSeeds.bias.isInstanceOf[MiningBias.SeedsCount])
+    assert(cfgSeeds.bias.asInstanceOf[MiningBias.SeedsCount].seedCount == 1) // subj {a}
+    assert(kbSeeds.where($"pred" === MiningBias.SeedRelation).count() == 1)
+    val (_, cfgTyped) = MineCLI.resolve("typed", kb, MinerConfig())
+    assert(cfgTyped.enableConstants &&
+      cfgTyped.instantiationTargetRelations == Seq("rdf:type"))
+    val (_, cfgEx) = MineCLI.resolve("existential", kb, MinerConfig())
+    assert(cfgEx.bias == MiningBias.Existential)
+  }
+
   test("MineCLI end-to-end: TSV in, reference-format rule TSV out") {
     val dir = java.nio.file.Files.createTempDirectory("graft-cli").toString
     val tsv = s"$dir/facts.tsv"
