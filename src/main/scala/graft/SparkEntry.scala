@@ -29,10 +29,14 @@ object SparkEntry {
     * four parquet tables and re-runs the 6-way union (measured ~10 s of
     * the sf0.1 sweep). MEMORY_AND_DISK: correctness never depends on the
     * cache, eviction just recomputes. */
-  def tpchTriples(spark: SparkSession, dir: String): DataFrame =
+  def tpchTriples(spark: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions — otherwise the map retains their
+    // DataFrames (and plans) for the life of the JVM
+    triplesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     triplesCache.computeIfAbsent((spark, dir), _ =>
       tpchTriplesUncached(spark, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private val triplesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()

@@ -60,10 +60,15 @@ object Dedup {
    */
   def ngramJaccard(docs: DataFrame, minJaccard: Double, maxShingleDF: Int = 0): DataFrame = {
     // the shingle set feeds sizes + DF counts + the candidate self-join +
-    // the exact verify join — persist it instead of re-tokenizing the
-    // corpus per consumer (eviction just recomputes)
-    val sh = shingles(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the exact verify join — materialize it once instead of re-tokenizing
+    // the corpus per consumer. localCheckpoint (not persist): persist
+    // registers the plan in the session's CacheManager, which holds a
+    // strong reference until an explicit unpersist — in a long-lived
+    // session (bench warm-up + timed sweep) every invocation would leak a
+    // cached plan. Checkpoint blocks are GC-cleaned with the DataFrame.
+    // On a real cluster swap for a reliable checkpoint (same caveat as
+    // nearDupClusters below).
+    val sh = shingles(docs).localCheckpoint(true)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val inter =
       if (maxShingleDF <= 0) {

@@ -177,6 +177,14 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
 
     val counts       = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
     val knownSupport = scala.collection.mutable.Map[Int, Long]()
+    // open-head rules (existential bias): support counts BOTH head
+    // variables but the denominators can only count the body-bound ones —
+    // dividing the pair count by a single-variable denominator would let
+    // confidences exceed 1.0 (and a fake pcaConfidence == 1.0 trips the
+    // miner's perfect-rule pruning). Confidence NUMERATORS therefore use a
+    // support counted over the same body-bound variable set as the
+    // denominators; the Support output column keeps the bias's variables.
+    val confSupport  = scala.collection.mutable.Map[Int, Long]()
     val fusedPlans   = scala.collection.mutable.ArrayBuffer[DataFrame]()
     val parts        = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
@@ -214,6 +222,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
               if (dvs.nonEmpty && r.realBody.nonEmpty) {
                 parts += agg1(i, "body", dvs, r.body)
                 parts += agg1(i, "pca", dvs, pcaAtoms(r))
+                // confidence numerator on the denominators' variable set
+                if (dvs != kv) parts += agg1(i, "suppd", dvs, r.atoms ++ cc)
               }
           }
       }
@@ -230,6 +240,7 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
           knownSupport.getOrElse(i, m.getOrElse("support", 0L)),
           m.getOrElse("body", 0L),
           m.getOrElse("pca", 0L))
+        m.get("suppd").foreach(confSupport(i) = _)
       }
 
     // constant-carrying heads need a count query for headSize — batched
@@ -251,13 +262,14 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
 
     rules.zipWithIndex.map { case (r, i) =>
       val (support, body, pca) = counts(i)
+      val confSupp = confSupport.getOrElse(i, support)
       val hs = headSizes.getOrElse(i, headSize(r))
       ScoredRule(
         rule = r,
         support = support,
         headCoverage = if (hs == 0) 0.0 else support.toDouble / hs,
-        stdConfidence = if (body == 0) 0.0 else support.toDouble / body,
-        pcaConfidence = if (pca == 0) 0.0 else support.toDouble / pca,
+        stdConfidence = if (body == 0) 0.0 else confSupp.toDouble / body,
+        pcaConfidence = if (pca == 0) 0.0 else confSupp.toDouble / pca,
         bodySize = body,
         pcaBodySize = pca,
         functionalVariable = {

@@ -251,13 +251,27 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
           s.stdConfidence >= config.minStdConfidence &&
           s.pcaConfidence >= config.minPcaConfidence &&
           s.pcaConfidence > n.ancestorConf // skyline
-        if (pass) { output += s; outputConf(n.rule.canonical) = s.pcaConfidence }
+        // open-head output (existential bias) does not raise the skyline
+        // floor: its pcaConfidence is computed over the body-bound variable
+        // subset (degenerately 1.0 when the head's functional variable is
+        // body-bound), and using it as the floor would suppress every
+        // closed descendant.
+        val openHead = n.rule.openVars.exists(v => n.rule.headVars.contains(v))
+        if (pass) {
+          output += s
+          if (!openHead) outputConf(n.rule.canonical) = s.pcaConfidence
+        }
       }
 
       // ---- Phase B: refine (one candidate-counting job for the level) ----
       val refinable = level.filter { n =>
+        // perfect-rule pruning (pcaConfidence == 1.0 ⇒ no refinement) is
+        // exempt for open-head rules: their confidences are computed over
+        // the body-bound variable subset, and blocking refinement on that
+        // proxy would suppress legitimate closed children (ADVICE r3).
+        val openHead = n.rule.openVars.exists(v => n.rule.headVars.contains(v))
         n.rule.length < config.maxDepth &&
-        scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0) // perfect-rule pruning
+        (openHead || scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0))
       }
       val children = phaseTimed(s"refine ${refinable.size} rules")(
         refineLevel(refinable, outputConf.toMap))
@@ -516,7 +530,12 @@ object Miner {
   /** Candidate-counting templates per chunk job. Measured A/B at sf0.1
     * (round 3, stats-ordered plans): 12 beats 24 and 48 — smaller chunks
     * plan faster and overlap better under the concurrent job pool.
-    * Env-tunable for A/B on other KBs. */
+    * Env-tunable for A/B on other KBs; malformed or non-positive values
+    * fall back to the measured default instead of surfacing as an
+    * ExceptionInInitializerError on first Miner use. */
   val TemplateChunk: Int =
-    sys.env.getOrElse("GRAFT_TEMPLATE_CHUNK", "12").toInt
+    sys.env.get("GRAFT_TEMPLATE_CHUNK")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+      .getOrElse(12)
 }

@@ -103,6 +103,10 @@ object MiningBias {
       kb: org.apache.spark.sql.DataFrame,
       schema: org.apache.spark.sql.DataFrame): (org.apache.spark.sql.DataFrame, Long) = {
     import org.apache.spark.sql.functions._
+    // the synthetic relation must not collide with a real one — a KB that
+    // already carries it would silently corrupt every support count
+    require(kb.where(col("pred") === SeedRelation).limit(1).isEmpty,
+      s"input KB already contains the reserved relation $SeedRelation")
     val seeds = schema.select("subj").distinct()
     val facts = seeds.select(col("subj"),
       lit(SeedRelation).as("pred"), lit("1").as("obj"))
@@ -237,7 +241,12 @@ object MiningBias {
 
     override def countConstraints(metrics: Metrics, r: Rule): List[graft.kb.Atom] =
       countVars(metrics, r).headOption.map { v =>
-        graft.kb.Atom(v, Const(seedRelation), Var("__seed"))
+        // marker variable derived fresh against the rule: a rule that ever
+        // carried a variable with the marker's name would otherwise make
+        // the seed atom join on it and corrupt the count
+        val used  = r.allVars.map(_.name).toSet
+        val fresh = Iterator.from(0).map(i => s"__seed$i").find(!used(_)).get
+        graft.kb.Atom(v, Const(seedRelation), Var(fresh))
       }.toList
 
     override val excludedRelations: Set[String] = Set(seedRelation)

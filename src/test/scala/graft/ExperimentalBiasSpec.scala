@@ -92,6 +92,43 @@ class ExperimentalBiasSpec extends AnyFunSuite {
     assert(rule.pcaConfidence == 1.0)
   }
 
+  test("existential bias: open-head confidences stay ≤ 1 and never block refinement") {
+    import spark.implicits._
+    // `a` has TWO h objects: the pair-counted support (3) exceeds the
+    // body-bound x count (2); dividing pairs by the x-denominators (the
+    // pre-fix behavior) would yield stdConf 1.0 / pcaConf 1.5. h has 2
+    // distinct subjects vs 2 distinct objects, so its functional variable
+    // is the subject x (ties break to subject) — the body-bound one.
+    val kb = Seq(
+      Triple("a", "h", "y1"), Triple("a", "h", "y2"), Triple("b", "h", "y1"),
+      Triple("a", "r1", "c1"), Triple("b", "r1", "c1"), Triple("d", "r1", "c1"),
+      Triple("y1", "r3", "a"), Triple("y1", "r3", "b")).toDF()
+    val rules = new Miner(kb,
+      MinerConfig(minSupport = 2, minHeadCoverage = 0.1, minPcaConfidence = 0.1,
+        maxDepth = 3, enableConstants = true,
+        bias = MiningBias.Existential)).mine()
+    assert(rules.forall(s => s.stdConfidence <= 1.0 && s.pcaConfidence <= 1.0),
+      rules.map(s => (s.rule.amieString, s.stdConfidence, s.pcaConfidence)).mkString("; "))
+    // the open instantiated rule r1(x,c1) ⇒ h(x,y): Support keeps the
+    // bias's pair count; confidences use the body-bound x counts
+    val open = rules.find(s =>
+      s.rule.head == Atom(Var("x"), Const("h"), Var("y")) &&
+      s.rule.realBody == List(Atom(Var("x"), Const("r1"), Const("c1")))).get
+    assert(open.support == 3)
+    assert(open.bodySize == 3)                  // x ∈ {a, b, d}
+    assert(open.stdConfidence == 2.0 / 3.0)     // body-bound x with h = {a, b}
+    assert(open.pcaConfidence == 1.0)           // degenerate shape, capped
+    // despite pcaConfidence == 1.0 the open rule still refines: its closed
+    // child r1(x,c1) ∧ r3(y,x) ⇒ h(x,y) must be in the output (pre-fix the
+    // perfect-rule pruning + skyline floor suppressed it)
+    val closed = rules.find(s =>
+      s.rule.head == Atom(Var("x"), Const("h"), Var("y")) &&
+      s.rule.realBody.toSet == Set(Atom(Var("x"), Const("r1"), Const("c1")),
+        Atom(Var("y"), Const("r3"), Var("x"))))
+    assert(closed.isDefined, rules.map(_.rule.amieString).mkString("; "))
+    assert(closed.get.support == 2 && closed.get.stdConfidence == 1.0)
+  }
+
   test("minInitialSupport gates seeds independently of minSupport") {
     import spark.implicits._
     val kb = Seq(
