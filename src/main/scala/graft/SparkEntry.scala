@@ -501,15 +501,17 @@ object SparkEntry {
   }
 
   /** Shared CTE chain ending in `cand` (the distinct LSH candidate
-    * pairs) — reused by the pair query and the clustering oracle. */
-  private def minhashCandCtes: String = {
+    * pairs over relation `docsRel`) — reused by the pair query (all
+    * documents) and the clustering oracle (exact-dedup representatives,
+    * mirroring [[Dedup.nearDupClusters]]'s composition). */
+  private def minhashCandCtes(docsRel: String = "documents"): String = {
     val sigCols = (0 until Dedup.Bands * Dedup.Rows)
       .map(i => s"min((${Dedup.A(i)} * h + ${Dedup.B(i)}) % $P) AS mh$i").mkString(",\n  ")
     val bandRows = (0 until Dedup.Bands).map { b =>
       val cols = (0 until Dedup.Rows).map(r => s"mh${b * Dedup.Rows + r}")
       s"SELECT doc_id, $b AS band, ${cols.mkString(" || ':' || ")} AS bsig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""t0 AS (SELECT doc_id, $toksSql AS toks0 FROM documents),
+    s"""t0 AS (SELECT doc_id, $toksSql AS toks0 FROM $docsRel),
        |t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks0)),
        |    i -> toks0[i] || ' ' || toks0[i+1])) AS toks
        |  FROM t0 WHERE len(toks0) >= 2),
@@ -519,21 +521,37 @@ object SparkEntry {
        |  $sigCols
        |FROM h GROUP BY doc_id),
        |bands AS ($bandRows),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id)""".stripMargin
+       |bsz AS (SELECT band, bsig, count(*) AS bn, min(doc_id) AS rep
+       |  FROM bands GROUP BY band, bsig),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+       |    JOIN bsz s ON s.band = a.band AND s.bsig = a.bsig
+       |    WHERE s.bn <= ${Dedup.DefaultMaxBucket}
+       |  UNION ALL
+       |  SELECT s.rep AS doc_a, a.doc_id AS doc_b
+       |    FROM bands a JOIN bsz s ON s.band = a.band AND s.bsig = a.bsig
+       |    WHERE s.bn > ${Dedup.DefaultMaxBucket} AND a.doc_id <> s.rep))""".stripMargin
   }
 
   private def minhashSql: String =
-    s"""WITH $minhashCandCtes
+    s"""WITH ${minhashCandCtes()}
        |SELECT doc_a, doc_b FROM cand""".stripMargin
 
-  /** LSH candidates → exact bigram-Jaccard verify → min-reachable
-    * component (recursive CTE) → keeper per doc. */
+  /** Exact-dedup to representatives → LSH candidates → exact
+    * bigram-Jaccard verify → min-reachable component (recursive CTE) →
+    * keeper per representative → expanded back to every doc — the same
+    * composition [[Dedup.nearDupClusters]] runs. */
   private def dedupClustersSql: String =
-    s"""WITH RECURSIVE $minhashCandCtes,
+    s"""WITH RECURSIVE
+       |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+       |  FROM documents),
+       |rdocs AS (SELECT d.* FROM documents d
+       |  JOIN ex ON ex.doc_id = d.doc_id AND ex.rep = d.doc_id),
+       |${minhashCandCtes("rdocs")},
        |sh2 AS (SELECT doc_id,
        |    unnest(list_distinct(list_transform(range(1, len(toks2)), i -> toks2[i] || ' ' || toks2[i+1]))) AS ng
-       |  FROM (SELECT doc_id, $toksSql AS toks2 FROM documents) WHERE len(toks2) >= 2),
+       |  FROM (SELECT doc_id, $toksSql AS toks2 FROM rdocs) WHERE len(toks2) >= 2),
        |cdocs AS (SELECT DISTINCT doc_id FROM (
        |  SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand)),
        |shc AS (SELECT * FROM sh2 WHERE doc_id IN (SELECT doc_id FROM cdocs)),
@@ -548,10 +566,11 @@ object SparkEntry {
        |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
        |  UNION SELECT doc_b, doc_a FROM ver),
        |r(doc, reach) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM rdocs
        |  UNION
-       |  SELECT r.doc, e.b FROM r JOIN e ON e.a = r.reach)
-       |SELECT doc AS doc_id, min(reach) AS keeper FROM r GROUP BY doc""".stripMargin
+       |  SELECT r.doc, e.b FROM r JOIN e ON e.a = r.reach),
+       |repk AS (SELECT doc AS rep, min(reach) AS keeper FROM r GROUP BY doc)
+       |SELECT ex.doc_id, repk.keeper FROM ex JOIN repk ON repk.rep = ex.rep""".stripMargin
 
   private def simhashCte: String = {
     val sums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
@@ -590,8 +609,17 @@ object SparkEntry {
     s"""bk AS (
        |  SELECT vec_id, 0 AS band, ${lshBucketSql("embedding", 0)} AS bucket FROM embeddings
        |  UNION ALL SELECT vec_id, 1, ${lshBucketSql("embedding", 1)} FROM embeddings),
-       |cand AS (SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
-       |  FROM bk a JOIN bk bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id)""".stripMargin
+       |bkz AS (SELECT band, bucket, count(*) AS bn, min(vec_id) AS rep
+       |  FROM bk GROUP BY band, bucket),
+       |cand AS (SELECT DISTINCT id_a, id_b FROM (
+       |  SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+       |    FROM bk a JOIN bk bb ON a.band = bb.band AND a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+       |    JOIN bkz s ON s.band = a.band AND s.bucket = a.bucket
+       |    WHERE s.bn <= ${Similarity.DefaultMaxBucket}
+       |  UNION ALL
+       |  SELECT s.rep AS id_a, a.vec_id AS id_b
+       |    FROM bk a JOIN bkz s ON s.band = a.band AND s.bucket = a.bucket
+       |    WHERE s.bn > ${Similarity.DefaultMaxBucket} AND a.vec_id <> s.rep))""".stripMargin
 
   private def assetsCte: String =
     s"""assets AS (SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

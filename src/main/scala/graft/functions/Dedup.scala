@@ -139,26 +139,67 @@ object Dedup {
     h.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-(band, signature) bucket occupancy cap for the LSH candidate
+    * join. The all-pairs bucket join costs Σ occupancy², so ONE hot
+    * bucket — e.g. millions of exact-duplicate crawl pages sharing a
+    * signature — turns the generator quadratic. Buckets above the cap
+    * switch to STAR pairs against the bucket's min-id representative:
+    * O(B) pairs instead of B², connectivity through the bucket is
+    * preserved (every member still gets a verifiable candidate edge to
+    * the representative, and exact/near-exact duplicates — the only
+    * realistic way a bucket overflows — verify at jaccard ≈ 1 against
+    * it), and only member-to-member edges *within* an overflow bucket
+    * are dropped. ≤ 0 disables the cap (spec'd identical output on
+    * corpora whose buckets fit). */
+  val DefaultMaxBucket = 256
+
   /**
    * MinHash-LSH candidate pairs: docs sharing at least one band signature
    * (band = concatenated row minhashes). The stack of per-band
    * projections unions into one bucket join keyed by (band, signature) —
-   * the classic sub-quadratic near-dup candidate generator.
+   * the classic sub-quadratic near-dup candidate generator, with
+   * overflow buckets capped per [[DefaultMaxBucket]].
    */
-  def minhashLsh(docs: DataFrame): DataFrame =
-    lshFromSignatures(minhashSignatures(docs))
+  def minhashLsh(docs: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    lshFromSignatures(minhashSignatures(docs), maxBucket)
 
-  private[graft] def lshFromSignatures(sig: DataFrame): DataFrame = {
+  private[graft] def lshFromSignatures(
+      sig: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val bands = (0 until Bands).map { b =>
       val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(":", cols.map(col): _*).as("bsig"))
     }.reduce(_ union _)
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    cappedBucketPairs(bands, Seq("band", "bsig"), "doc_id", maxBucket)
+      .toDF("doc_a", "doc_b")
+  }
+
+  /** Shared capped bucket-join: all-pairs within buckets of occupancy ≤
+    * `maxBucket`, star-to-representative pairs within larger ones (see
+    * [[DefaultMaxBucket]]). Returns distinct (id_a < id_b) pairs. */
+  private[graft] def cappedBucketPairs(
+      rows: DataFrame, keys: Seq[String], id: String, maxBucket: Int): DataFrame = {
+    val allPairs = (l: DataFrame) =>
+      l.as("a").join(l.as("b"),
+          keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+            col(s"a.$id") < col(s"b.$id"))
+        .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+    val pairs =
+      if (maxBucket <= 0) allPairs(rows)
+      else {
+        // occupancy is counted once per bucket — one extra aggregation on
+        // the same join keys the bucket join shuffles on anyway
+        val stats = rows.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bn"), min(col(id)).as("rep"))
+        val small = rows.join(
+          stats.where(col("bn") <= maxBucket).select(keys.map(col): _*),
+          keys, "left_semi")
+        val star = rows.join(stats.where(col("bn") > maxBucket), keys)
+          .where(col(id) =!= col("rep"))
+          .select(col("rep").as("id_a"), col(id).as("id_b"))
+        allPairs(small).union(star)
+      }
+    pairs.distinct()
   }
 
   /**
@@ -170,7 +211,31 @@ object Dedup {
    * the quadratic work is bounded by LSH bucket sizes, the verification
    * by candidate count, and the clustering by the verified-edge count.
    */
-  def nearDupClusters(docs: DataFrame, minJaccard: Double): DataFrame = {
+  def nearDupClusters(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // EXACT-dedup composition first: identical texts (the dominant
+    // duplicate mode in crawl corpora, and the only realistic way an LSH
+    // bucket overflows) are collapsed to their min-id representative
+    // BEFORE any shingling, so the expensive LSH + verify phases see one
+    // row per distinct text. The output is provably unchanged: members
+    // of an exact group share every shingle, hence every bucket and a
+    // jaccard-1.0 verified edge, so the clustering over representatives
+    // is the exact quotient of the clustering over all docs, and each
+    // group's min-id representative makes cluster-min-over-reps equal
+    // cluster-min-over-docs. Expansion back is one vocabulary-keyed join.
+    val exactMap = exact(docs).localCheckpoint(true) // (doc_id, keeper=exact rep)
+    val repDocs = docs.join(
+      exactMap.where(col("doc_id") === col("keeper")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val repResult = nearDupClustersDistinct(repDocs, minJaccard, maxBucket)
+    exactMap.select(col("doc_id"), col("keeper").as("rep"))
+      .join(repResult.select(col("doc_id").as("rep"), col("keeper")), "rep")
+      .select(col("doc_id"), col("keeper"))
+  }
+
+  /** [[nearDupClusters]] body over a corpus already exact-deduped. */
+  private def nearDupClustersDistinct(docs: DataFrame, minJaccard: Double,
+      maxBucket: Int): DataFrame = {
     // ONE shingle pass feeds both the MinHash signatures and the exact
     // verification; cand is consumed 3× (candidate-doc semi-join, pair
     // semi-join) and sh 3× (sizes + both sides of the intersection
@@ -179,7 +244,7 @@ object Dedup {
     // cluster this becomes a reliable checkpoint to the job's checkpoint
     // dir.
     val allSh = shingles(docs).select("doc_id", "ng").localCheckpoint(true)
-    val cand = lshFromSignatures(signaturesFromShingles(allSh))
+    val cand = lshFromSignatures(signaturesFromShingles(allSh), maxBucket)
       .localCheckpoint(true) // (doc_a, doc_b), doc_a < doc_b
     val sh = allSh
       .join(cand.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct(),

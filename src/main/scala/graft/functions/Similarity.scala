@@ -85,15 +85,20 @@ object Similarity {
         posexplode(bandBuckets).as(Seq("band", "bucket")))
   }
 
+  /** Per-(band, bucket) occupancy cap — same rationale and star-overflow
+    * semantics as [[Dedup.DefaultMaxBucket]]: a degenerate embedding
+    * column (e.g. millions of zero or templated vectors landing in one
+    * sign bucket) otherwise turns the candidate join quadratic. */
+  val DefaultMaxBucket = 256
+
   /** Distinct candidate pairs (id_a < id_b) sharing any band bucket.
-    * The (band, bucket) join key means cost ∝ Σ occupancy² per band;
-    * dedup happens BEFORE any cosine is computed. */
-  private def bandedCandidates(b: DataFrame): DataFrame =
-    b.select(col("vec_id").as("id_a"), col("band"), col("bucket"))
-      .join(b.select(col("vec_id").as("id_b"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    * The (band, bucket) join key means cost ∝ Σ min(occupancy, cap)² per
+    * band; dedup happens BEFORE any cosine is computed. */
+  private def bandedCandidates(
+      b: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame =
+    Dedup.cappedBucketPairs(b.select(col("vec_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"), "vec_id", maxBucket)
+      .toDF("id_a", "id_b")
 
   /**
    * LSH-bucketed ANN: top-k cosine neighbors among candidates sharing
@@ -101,8 +106,9 @@ object Similarity {
    * candidate pair is scored ONCE (dedup before the cosine), then ranked
    * per query. Symmetric candidates: (a,b) produces both directions.
    */
-  def lshTopK(emb: DataFrame, bands: Int, planes: Int, k: Int): DataFrame = {
-    val cand = bandedCandidates(bandedBuckets(emb, bands, planes))
+  def lshTopK(emb: DataFrame, bands: Int, planes: Int, k: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val cand = bandedCandidates(bandedBuckets(emb, bands, planes), maxBucket)
     val sym = cand.union(cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
     val pairs = sym
@@ -120,8 +126,9 @@ object Similarity {
     * pairs sharing any band bucket with cosine ≥ minCosine, id_a < id_b.
     * Cost ∝ Σ per-band occupancy² + one cosine per DISTINCT candidate. */
   def embeddingNearDups(
-      emb: DataFrame, minCosine: Double, bands: Int = 2, planes: Int = 8): DataFrame = {
-    bandedCandidates(bandedBuckets(emb, bands, planes))
+      emb: DataFrame, minCosine: Double, bands: Int = 2, planes: Int = 8,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    bandedCandidates(bandedBuckets(emb, bands, planes), maxBucket)
       .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("qe")), "id_a")
       .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("ne")), "id_b")
       .withColumn("cos", cosineExpr("qe", "ne"))

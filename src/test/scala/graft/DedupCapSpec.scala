@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH bucket-occupancy cap: on corpora whose buckets fit under the cap
+  * the capped generators are IDENTICAL to the uncapped all-pairs join;
+  * on a degenerate duplicate-heavy corpus (the 100-TB failure mode: one
+  * band-signature bucket holding the whole corpus) they emit O(n) star
+  * pairs instead of n² and the end-to-end clustering still groups every
+  * duplicate. Also covers the exact-dedup composition in
+  * [[Dedup.nearDupClusters]] (identical texts collapse to one
+  * representative before shingling, output provably unchanged). */
+class DedupCapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def docsDF(rows: Seq[(Long, String, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "source", "lang")
+  }
+
+  /** A varied corpus: no LSH bucket comes close to the 256 cap. */
+  private lazy val varied = docsDF((1L to 60L).map { i =>
+    (i, s"alpha beta gamma tok$i delta med${i % 7} epsilon zeta eta theta", "s1", "en")
+  })
+
+  test("cap off == cap on when no bucket overflows (minhash)") {
+    val capped   = Dedup.minhashLsh(varied).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncapped = Dedup.minhashLsh(varied, maxBucket = 0).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == uncapped)
+  }
+
+  test("cap off == cap on when no bucket overflows (embedding LSH)") {
+    import spark.implicits._
+    val emb = (1 to 40)
+      .map(i => (i.toLong, Array.fill(8)(((i % 5) + 1).toFloat / (i % 3 + 1)), "l1"))
+      .toDF("vec_id", "embedding", "label")
+    def pairs(cap: Int) = Similarity.embeddingNearDups(emb, minCosine = 0.2, maxBucket = cap)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.DefaultMaxBucket) == pairs(0))
+  }
+
+  test("degenerate corpus: one hot bucket produces O(n) star pairs, not n^2") {
+    // 3000 exact duplicates share every minhash band signature — the
+    // uncapped join would emit ~4 bands * 3000^2/2 pre-distinct pairs.
+    val n = 3000
+    val dup = docsDF((1L to n.toLong).map(i =>
+      (i, "the same exact duplicated document body appears everywhere", "s1", "en")))
+    val pairs = Dedup.minhashLsh(dup, maxBucket = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // star shape: every doc paired with the bucket representative (min id)
+    assert(pairs.length == n - 1)
+    assert(pairs.forall(_._1 == 1L))
+  }
+
+  test("overflow star pairs keep end-to-end clustering intact") {
+    // 500 identical docs + 2 near-dups of each other + 1 singleton: the
+    // identical block overflows a cap of 64, the near-dup pair does not.
+    val base = (1L to 500L).map(i =>
+      (i, "common crawl boilerplate page body repeated verbatim", "s1", "en"))
+    val extra = Seq(
+      (900L, "a quick brown fox jumps over the lazy dog today", "s1", "en"),
+      (901L, "a quick brown fox jumps over the lazy dog tonight", "s1", "en"),
+      (950L, "entirely unrelated standalone document text here", "s1", "en"))
+    val out = Dedup.nearDupClusters(docsDF(base ++ extra), minJaccard = 0.3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 500L).forall(out(_) == 1L)) // one cluster, min-id keeper
+    assert(out(900L) == 900L && out(901L) == 900L)
+    assert(out(950L) == 950L)
+  }
+
+  test("exact-dedup composition: nearDupClusters output is the uncomposed quotient") {
+    // mixed corpus with exact dups, near dups and singletons; compare the
+    // composed operator against a brute-force all-pairs jaccard clustering
+    val rows = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "s1", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta", "s1", "en"), // exact dup of 1
+      (3L, "alpha beta gamma delta epsilon eta", "s1", "en"),  // near dup of 1
+      (4L, "totally different content lives here now", "s1", "en"),
+      (5L, "totally different content lives here now", "s1", "en"), // exact dup of 4
+      (6L, "lonely document with unique words only", "s1", "en"))
+    val out = Dedup.nearDupClusters(docsDF(rows), minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("cappedBucketPairs: small buckets all-pairs, overflow buckets star") {
+    import spark.implicits._
+    // bucket A: 3 members (under cap 3) -> 3 pairs; bucket B: 4 members
+    // (over cap) -> 3 star pairs to min id
+    val rows = Seq(
+      ("A", 1L), ("A", 2L), ("A", 3L),
+      ("B", 10L), ("B", 11L), ("B", 12L), ("B", 13L))
+      .toDF("bkt", "id")
+    val got = Dedup.cappedBucketPairs(rows, Seq("bkt"), "id", maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (10L, 13L)))
+  }
+}
