@@ -30,12 +30,30 @@ private[graft] object Jobs {
     sys.env.getOrElse("GRAFT_JOB_PARALLELISM", "2").toInt
 
   def collectChunked(parts: Seq[DataFrame], chunk: Int,
-      parallelism: Int = DefaultParallelism): Seq[Row] = {
-    val chunks = parts.grouped(chunk).toSeq
-    if (chunks.isEmpty) return Nil
-    if (chunks.size == 1 || parallelism <= 1)
-      return chunks.flatMap(c => c.reduce(_ union _).collect())
+      parallelism: Int = DefaultParallelism): Seq[Row] =
+    collectPools(Seq((parts, chunk)), parallelism).head
 
+  /** Run SEVERAL independent part-pools through ONE shared concurrent
+    * chunk executor and return each pool's rows separately. Chunking
+    * stays within a pool (pools may have different row schemas), but the
+    * execution window is shared — a barrier between pools would add a
+    * full job-wave of driver/scheduling latency per pool, and the BFS
+    * miner runs up to five independent pools per level (fused scoring,
+    * lazy/fallback counts, head sizes, refinement templates,
+    * instantiations). */
+  def collectPools(pools: Seq[(Seq[DataFrame], Int)],
+      parallelism: Int = DefaultParallelism): IndexedSeq[Seq[Row]] = {
+    val chunks = pools.zipWithIndex.flatMap { case ((parts, chunk), pi) =>
+      parts.grouped(chunk).map(c => (pi, c))
+    }
+    val out = Array.fill(pools.size)(Seq.newBuilder[Row])
+    if (chunks.isEmpty) return out.map(_.result()).toIndexedSeq
+    if (chunks.size == 1 || parallelism <= 1) {
+      chunks.foreach { case (pi, c) =>
+        out(pi) ++= c.reduce(_ union _).collect()
+      }
+      return out.map(_.result()).toIndexedSeq
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(parallelism, chunks.size),
       (r: Runnable) => {
@@ -43,12 +61,15 @@ private[graft] object Jobs {
       })
     try {
       import scala.jdk.CollectionConverters._
-      val tasks = chunks.map { c =>
-        new java.util.concurrent.Callable[Seq[Row]] {
-          def call(): Seq[Row] = c.reduce(_ union _).collect().toSeq
+      val tasks = chunks.map { case (pi, c) =>
+        new java.util.concurrent.Callable[(Int, Seq[Row])] {
+          def call(): (Int, Seq[Row]) = (pi, c.reduce(_ union _).collect().toSeq)
         }
       }
-      pool.invokeAll(tasks.asJava).asScala.flatMap(_.get()).toSeq
+      pool.invokeAll(tasks.asJava).asScala.foreach { f =>
+        val (pi, rows) = f.get(); out(pi) ++= rows
+      }
     } finally pool.shutdown()
+    out.map(_.result()).toIndexedSeq
   }
 }

@@ -1,7 +1,7 @@
 package graft.mine
 
 import graft.kb._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -174,6 +174,25 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       lazyCfg: Option[(Int => Option[Long], Double, Double)],
       bias: MiningBias): Seq[ScoredRule] = {
     if (rules.isEmpty) return Nil
+    val p = planScoring(rules, countVarsOf, lazyCfg, bias)
+    p.finish(Jobs.collectPools(p.pools))
+  }
+
+  /**
+   * Deferred-execution variant of [[scoreAll]]: returns the three plan
+   * pools (fused one-plan-per-rule scoring, lazy/fallback counts, head
+   * sizes) WITHOUT running them, plus a finisher that assembles the
+   * [[ScoredRule]]s from the pools' collected rows. The miner merges
+   * these pools with the refinement-candidate pools of the same BFS
+   * level into one shared [[Jobs.collectPools]] submission — the
+   * phase-A/phase-B jobs are independent, and a barrier between them
+   * costs a full job wave of scheduling latency per level.
+   */
+  private[mine] def planScoring(
+      rules: Seq[Rule],
+      countVarsOf: Rule => Seq[Var],
+      lazyCfg: Option[(Int => Option[Long], Double, Double)],
+      bias: MiningBias): ScoringPlan = {
 
     val counts       = scala.collection.mutable.Map[Int, (Long, Long, Long)]()
     val knownSupport = scala.collection.mutable.Map[Int, Long]()
@@ -229,12 +248,24 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       }
     }
 
-    Jobs.collectChunked(fusedPlans.toSeq, JobChunk)
-      .foreach(row =>
+    // constant-carrying heads need a count query for headSize — batched
+    // and chunked like every other measurement (one blocking job per
+    // O_I rule would reintroduce the per-candidate query storm)
+    val hsParts = rules.zipWithIndex.collect {
+      case (r, i) if headSizeNeedsQuery(r) || bias.countConstraints(this, r).nonEmpty =>
+        // under count constraints the head-coverage denominator is the
+        // constrained head count on the bias's counting variables (the
+        // reference registers seedsCardinality as the head cardinality)
+        val cc = bias.countConstraints(this, r)
+        if (cc.isEmpty) agg1(i, "hs", r.headVars, Seq(r.head))
+        else agg1(i, "hs", countVarsOf(r), r.head +: cc)
+    }
+
+    def finish(res: IndexedSeq[Seq[Row]]): Seq[ScoredRule] = {
+      res(0).foreach(row =>
         counts(row.getInt(0)) = (row.getLong(1), row.getLong(2), row.getLong(3)))
 
-    Jobs.collectChunked(parts.toSeq, JobChunk)
-      .groupBy(_.getInt(0)).foreach { case (i, rows) =>
+      res(1).groupBy(_.getInt(0)).foreach { case (i, rows) =>
         val m = rows.map(row => row.getString(1) -> row.getLong(2)).toMap
         counts(i) = (
           knownSupport.getOrElse(i, m.getOrElse("support", 0L)),
@@ -243,23 +274,23 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         m.get("suppd").foreach(confSupport(i) = _)
       }
 
-    // constant-carrying heads need a count query for headSize — batched
-    // and chunked like every other measurement (one blocking job per
-    // O_I rule would reintroduce the per-candidate query storm)
-    val headSizes: Map[Int, Long] = {
-      val hsParts = rules.zipWithIndex.collect {
-        case (r, i) if headSizeNeedsQuery(r) || bias.countConstraints(this, r).nonEmpty =>
-          // under count constraints the head-coverage denominator is the
-          // constrained head count on the bias's counting variables (the
-          // reference registers seedsCardinality as the head cardinality)
-          val cc = bias.countConstraints(this, r)
-          if (cc.isEmpty) agg1(i, "hs", r.headVars, Seq(r.head))
-          else agg1(i, "hs", countVarsOf(r), r.head +: cc)
-      }
-      Jobs.collectChunked(hsParts, JobChunk)
-        .map(row => row.getInt(0) -> row.getLong(2)).toMap
+      val headSizes: Map[Int, Long] =
+        res(2).map(row => row.getInt(0) -> row.getLong(2)).toMap
+
+      assemble(rules, counts, confSupport, headSizes, bias)
     }
 
+    ScoringPlan(
+      Seq((fusedPlans.toSeq, JobChunk), (parts.toSeq, JobChunk), (hsParts, JobChunk)),
+      finish)
+  }
+
+  private def assemble(
+      rules: Seq[Rule],
+      counts: scala.collection.Map[Int, (Long, Long, Long)],
+      confSupport: scala.collection.Map[Int, Long],
+      headSizes: Map[Int, Long],
+      bias: MiningBias): Seq[ScoredRule] =
     rules.zipWithIndex.map { case (r, i) =>
       val (support, body, pca) = counts(i)
       val confSupp = confSupport.getOrElse(i, support)
@@ -286,7 +317,6 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
         // passes computed them.
         stdConfUpperBound = stdConfidenceUpperBound(r, support).getOrElse(0.0))
     }
-  }
 
   def score(rule: Rule): ScoredRule = scoreAll(Seq(rule)).head
 
@@ -514,6 +544,13 @@ object Metrics {
     * per job (vs the reference's one KB call per rule). */
   val JobChunk = 24
 }
+
+/** Deferred scoring batch: `pools` are (plans, chunk-size) families for
+  * [[graft.kb.Jobs.collectPools]]; `finish` turns the pools' collected
+  * rows (same order) into the scored rules. */
+private[mine] final case class ScoringPlan(
+    pools: Seq[(Seq[DataFrame], Int)],
+    finish: IndexedSeq[Seq[Row]] => Seq[ScoredRule])
 
 /**
  * Relation-pair overlap tables (reference KB.java:469-648: subject–

@@ -1,7 +1,7 @@
 package graft.mine
 
 import graft.kb._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /**
@@ -234,8 +234,22 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
           val lookup: Int => Option[Long] = i => hints.get(i)
           Some((lookup, config.minStdConfidence, config.minPcaConfidence))
         } else None
-      val scoredSeq = phaseTimed(s"score ${scoreRules.size} closed")(
-        metrics.scoreAll(scoreRules, countVarsOf, lazyCfg, bias))
+      // ---- One shared job wave for the level ----
+      // Phase-A scoring pools and phase-B refinement-candidate pools are
+      // submitted through ONE Jobs.collectPools window: the result-
+      // dependent part of the refinable set (perfect-rule pruning needs
+      // this level's pcaConfidence) is applied as a post-filter on the
+      // counted children instead of a barrier before the candidate jobs.
+      // The optimistic cost — candidate counts for parents that turn out
+      // perfect — is a handful of rules; the saved cost is 3-4 full job
+      // waves of driver/scheduling latency per BFS level.
+      val scoringPlan = metrics.planScoring(scoreRules, countVarsOf, lazyCfg, bias)
+      val candidates  = level.filter(_.rule.length < config.maxDepth)
+      val refinePlan  = planRefine(candidates)
+      val pooled = phaseTimed(
+        s"level jobs (${scoreRules.size} scored, ${candidates.size} refined)")(
+        Jobs.collectPools(scoringPlan.pools ++ refinePlan.pools))
+      val scoredSeq = scoringPlan.finish(pooled.take(scoringPlan.pools.size))
       val scored: Map[String, ScoredRule] =
         kept.zip(scoredSeq).map { case ((n, _, pcaUB, est), s) =>
           n.rule.canonical -> s.copy(
@@ -263,31 +277,40 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         }
       }
 
-      // ---- Phase B: refine (one candidate-counting job for the level) ----
-      val refinable = level.filter { n =>
-        // perfect-rule pruning (pcaConfidence == 1.0 ⇒ no refinement) is
-        // exempt for open-head rules: their confidences are computed over
-        // the body-bound variable subset, and blocking refinement on that
-        // proxy would suppress legitimate closed children (ADVICE r3).
+      // ---- Phase B: assemble children from the already-collected rows ----
+      // perfect-rule pruning (pcaConfidence == 1.0 ⇒ no refinement) is
+      // exempt for open-head rules: their confidences are computed over
+      // the body-bound variable subset, and blocking refinement on that
+      // proxy would suppress legitimate closed children (ADVICE r3).
+      val refinable: Node => Boolean = { n =>
         val openHead = n.rule.openVars.exists(v => n.rule.headVars.contains(v))
-        n.rule.length < config.maxDepth &&
-        (openHead || scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0))
+        openHead || scored.get(n.rule.canonical).forall(_.pcaConfidence < 1.0)
       }
-      val children = phaseTimed(s"refine ${refinable.size} rules")(
-        refineLevel(refinable, outputConf.toMap))
+      val children = phaseTimed(s"finish refine ${candidates.size} rules")(
+        finishRefine(refinePlan, pooled.drop(scoringPlan.pools.size),
+          refinable, outputConf.toMap))
       level = children.filter(c => seen.add(c.rule.canonical))
     }
     output.toSeq.sortBy(s => (headRel(s.rule), -s.pcaConfidence, -s.support, s.rule.amieString))
   }
 
+  /** Deferred refinement batch for one BFS level: the candidate-count
+    * plan pools (templates + instantiations) built for every depth-
+    * eligible node, plus the metadata to interpret their rows. */
+  private final case class RefinePlan(
+      nodes: Seq[Node],
+      templates: IndexedSeq[(Int, Atom, Boolean)],
+      instTasks: IndexedSeq[(Int, Var)],
+      pools: Seq[(Seq[DataFrame], Int)])
+
   /**
    * Batched dangling (O_D) + closing (O_C) operators (SURVEY.md §2.9).
    * Both reduce to the same template job; instantiation (O_I) reuses the
-   * dangling bindings with the fresh variable as the group key.
+   * dangling bindings with the fresh variable as the group key. Split
+   * into plan/finish so the level's candidate jobs share one
+   * [[Jobs.collectPools]] window with the scoring jobs.
    */
-  private def refineLevel(nodes: Seq[Node], outputConf: Map[String, Double]): Seq[Node] = {
-    if (nodes.isEmpty) return Nil
-
+  private def planRefine(nodes: Seq[Node]): RefinePlan = {
     // Enumerate (node, template-atom) pairs.
     val templates = scala.collection.mutable.ArrayBuffer[(Int, Atom, Boolean)]() // (idx, atom, isDangling)
     nodes.zipWithIndex.foreach { case (n, i) =>
@@ -338,18 +361,33 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       df.groupBy(col(candCol)).agg(cd.as("supp"))
         .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
     }
-    val counted = Jobs.collectChunked(parts.toSeq, Miner.TemplateChunk)
+    val (iTasks, iParts) = planInstantiations(nodes)
+    RefinePlan(nodes, templates.toIndexedSeq, iTasks,
+      Seq((parts.toSeq, Miner.TemplateChunk), (iParts, Metrics.JobChunk)))
+  }
+
+  /** Assemble the level's children from the collected candidate rows:
+    * `res(0)` = template counts, `res(1)` = instantiation counts.
+    * `refinable` applies the result-dependent perfect-rule pruning the
+    * shared job window could not know at plan time — children of a
+    * parent that scored pcaConfidence == 1.0 are dropped here. */
+  private def finishRefine(plan: RefinePlan, res: IndexedSeq[Seq[Row]],
+      refinable: Node => Boolean, outputConf: Map[String, Double]): Seq[Node] = {
+    val nodes     = plan.nodes
+    val templates = plan.templates
+    if (nodes.isEmpty) return Nil
 
     val children  = scala.collection.mutable.ArrayBuffer[Node]()
     val reguarded = scala.collection.mutable.ArrayBuffer[(Rule, Double)]() // needs support re-measure
-    for (row <- counted) {
+    for (row <- res(0)) {
       val (idx, tpl, isDangling) = templates(row.getInt(0))
       val rel           = row.getString(1)
       val supp          = row.getLong(2)
       val parent        = nodes(idx)
       val newAtom       = tpl.copy(p = Const(rel))
       val child         = Rule(parent.rule.head, parent.rule.body :+ newAtom)
-      val ok = supp >= supportThreshold(headRel(parent.rule)) &&
+      val ok = refinable(parent) &&
+        supp >= supportThreshold(headRel(parent.rule)) &&
         !bias.excludedRelations.contains(rel) &&
         !config.bodyExcludedRelations.contains(rel) &&
         !parent.rule.atoms.contains(newAtom) &&
@@ -391,7 +429,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     // functional variable; the per-bias choice keeps thresholds coherent
     // with every other operator here).
     if (config.enableTypeSpecialization) {
-      for (n <- nodes; child <- typeSpecializations(n.rule)) {
+      for (n <- nodes if refinable(n); child <- typeSpecializations(n.rule)) {
         val floor = math.max(n.ancestorConf,
           outputConf.getOrElse(n.rule.canonical, -1.0))
         reguarded += ((child, floor))
@@ -416,7 +454,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         if (supp >= supportThreshold(headRel(r))) children += Node(r, floor, supp)
       }
     }
-    if (config.enableConstants) children ++= instantiateLevel(nodes, outputConf)
+    children ++= finishInstantiations(plan, res(1), refinable, outputConf)
     children.toSeq
   }
 
@@ -446,8 +484,12 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
    * head vars))`. The child keeps its atom count (a variable is replaced,
    * not an atom added), so instantiation does not consume search depth —
    * it strictly reduces the variable count, which bounds the recursion.
+   * Split into plan/finish so the level's O_I candidate jobs share one
+   * [[Jobs.collectPools]] window with the scoring and template jobs.
    */
-  private def instantiateLevel(nodes: Seq[Node], outputConf: Map[String, Double]): Seq[Node] = {
+  private def planInstantiations(
+      nodes: Seq[Node]): (IndexedSeq[(Int, Var)], Seq[DataFrame]) = {
+    if (!config.enableConstants) return (IndexedSeq.empty, Nil)
     // -itr / -iexr (AMIEOptions): an open variable belongs to exactly
     // one real atom; its relation gates whether the variable may be
     // instantiated (the reference applies the filter to the dangling
@@ -460,12 +502,12 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
             config.instantiationTargetRelations.contains(p)) &&
           !config.instantiationExcludedRelations.contains(p)
         }
-    val tasks = for {
+    val tasks = (for {
       (n, i) <- nodes.zipWithIndex
       v      <- n.rule.openVars
       if instantiable(n.rule, v)
-    } yield (i, v)
-    if (tasks.isEmpty) return Nil
+    } yield (i, v)).toIndexedSeq
+    if (tasks.isEmpty) return (tasks, Nil)
 
     val parts = tasks.zipWithIndex.map { case ((idx, v), taskId) =>
       val r = nodes(idx).rule
@@ -487,15 +529,24 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         .groupBy(col(v.name)).agg(cd.as("supp"))
         .select(lit(taskId).as("task_id"), col(v.name).as("c"), col("supp"))
     }
-    val counted = Jobs.collectChunked(parts.toSeq, Metrics.JobChunk)
+    (tasks, parts)
+  }
 
+  /** Assemble O_I children from the shared job window's collected rows.
+    * `refinable` drops children of parents the level's scoring pass
+    * found perfect (pcaConfidence == 1.0) — the counts were computed
+    * optimistically inside the shared window. */
+  private def finishInstantiations(plan: RefinePlan, counted: Seq[Row],
+      refinable: Node => Boolean, outputConf: Map[String, Double]): Seq[Node] = {
+    val nodes = plan.nodes
+    val tasks = plan.instTasks
     val out = scala.collection.mutable.ArrayBuffer[Node]()
     for (row <- counted) {
       val (idx, v) = tasks(row.getInt(0))
       val c        = row.getString(1)
       val supp     = row.getLong(2)
       val parent   = nodes(idx)
-      if (supp >= supportThreshold(headRel(parent.rule))) {
+      if (refinable(parent) && supp >= supportThreshold(headRel(parent.rule))) {
         def sub(t: Term): Term = if (t == v) Const(c) else t
         def subAtom(a: Atom)   = Atom(sub(a.s), sub(a.p), sub(a.o))
         // drop guards the substitution made vacuously TRUE (e.g.
