@@ -261,6 +261,36 @@ object SparkEntry {
         inverse = true, op = ">", n = 10)
     },
 
+    // ---- §2.2 INLINE cardinality meta-atom (KB.java:928-1063 placement
+    // freedom): nations of customers with > 10 orders — the
+    // hasNumberOfValuesGreaterThanInv10 atom rides inside the conjunction
+    "kb_card_inline" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(tpchTriples(s, dir), Seq(Var("c"), Var("n")),
+        Seq(custNat,
+          Atom(Var("c"), Const("hasNumberOfValuesGreaterThanInv10"),
+            Const("orderCust"))))
+        .select(col("c").as("cust"), col("n").as("nation"))
+    },
+
+    // ---- §2.2 INLINE cardinality SmallerThan: customers with 1-2 orders
+    // (universe = obj-position entities, KB.java:1036-1054)
+    "kb_card_small_inline" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(tpchTriples(s, dir), Seq(Var("c")),
+        Seq(custNat,
+          Atom(Var("c"), Const("hasNumberOfValuesSmallerThanInv3"),
+            Const("orderCust"))))
+        .select(col("c").as("cust"))
+    },
+
+    // ---- §2.2 INLINE ~existsInv meta-atom: nations never an orderCust
+    // object (exercises the obj-universe complement, KB.java:982-993)
+    "kb_not_exists_inline" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(tpchTriples(s, dir), Seq(Var("n")),
+        Seq(natReg,
+          Atom(Const("orderCust"), Const(Atom.NotExistsInv), Var("n"))))
+        .select(col("n").as("nation"))
+    },
+
     // ---- §2.2 differentFrom pseudo-atom: supplier pairs in one nation
     "kb_different_from" -> { (s, dir) =>
       QueryBuilder.selectDistinct(
@@ -979,6 +1009,26 @@ object SparkEntry {
       s"""$triplesCte
          |SELECT obj AS entity, count(DISTINCT subj) AS cnt FROM triples
          |WHERE pred = 'orderCust' GROUP BY obj HAVING count(DISTINCT subj) > 10""".stripMargin,
+    "kb_card_inline" ->
+      s"""$triplesCte, busy AS (
+         |  SELECT obj AS c FROM triples WHERE pred = 'orderCust'
+         |  GROUP BY obj HAVING count(DISTINCT subj) > 10)
+         |SELECT DISTINCT t.subj AS cust, t.obj AS nation
+         |FROM triples t JOIN busy ON t.subj = busy.c
+         |WHERE t.pred = 'custNation'""".stripMargin,
+    "kb_card_small_inline" ->
+      s"""$triplesCte, few AS (
+         |  SELECT obj AS c FROM triples WHERE pred = 'orderCust'
+         |  GROUP BY obj HAVING count(DISTINCT subj) < 3)
+         |SELECT DISTINCT t.subj AS cust
+         |FROM triples t JOIN few ON t.subj = few.c
+         |WHERE t.pred = 'custNation'""".stripMargin,
+    "kb_not_exists_inline" ->
+      s"""$triplesCte
+         |SELECT DISTINCT subj AS nation FROM triples
+         |WHERE pred = 'nationRegion'
+         |  AND subj IN (SELECT obj FROM triples)
+         |  AND subj NOT IN (SELECT obj FROM triples WHERE pred = 'orderCust')""".stripMargin,
     "kb_different_from" ->
       s"""$triplesCte
          |SELECT DISTINCT a.subj AS s1, b.subj AS s2

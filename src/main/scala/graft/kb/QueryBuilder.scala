@@ -44,20 +44,126 @@ object QueryBuilder {
    */
   def bindings(triples: DataFrame, atoms: Seq[Atom], stats: Option[KGStats]): DataFrame = {
     require(atoms.nonEmpty, "empty conjunctive query")
-    val (pseudo, positive) = atoms.partition(_.isPseudo)
-    require(positive.nonEmpty, "query needs at least one positive atom")
+    val (pseudo, rest)    = atoms.partition(_.isPseudo)
+    val (meta, positive)  = rest.partition(_.isMeta)
+    require(positive.nonEmpty || meta.nonEmpty,
+      "query needs at least one non-filter atom")
 
     val ordered = stats match {
       case Some(st) => cardinalityOrder(positive, st)
       case None     => connectivityOrder(positive)
     }
-    var df = atomDF(triples, ordered.head)
-    for (a <- ordered.tail) {
-      val right  = atomDF(triples, a)
+    // meta-relation atoms (KB.java:928-1063 placement freedom) lower to
+    // derived binding tables joined AFTER the positive conjunction —
+    // they are selective unary/binary predicates, and joining the
+    // distinct derived table on the shared variable columns is the
+    // semi-join the reference's instantiation loop performs
+    val metaDFs = meta.map(metaDF(triples, _))
+    val start   = ordered.headOption.map(atomDF(triples, _)).getOrElse(metaDFs.head)
+    val tails   = ordered.drop(1).map(atomDF(triples, _)) ++
+      (if (ordered.isEmpty) metaDFs.drop(1) else metaDFs)
+    var df = start
+    for (right <- tails) {
       val shared = df.columns.intersect(right.columns).toSeq
       df = if (shared.isEmpty) df.crossJoin(right) else df.join(right, shared)
     }
+    if (df.columns.contains(MetaGateCol)) df = df.drop(MetaGateCol)
     pseudo.foldLeft(df)((d, a) => d.filter(pseudoFilter(d, a)))
+  }
+
+  /** Marker column of a fully-ground meta atom (no variables): a 0/1-row
+    * existence gate cross-joined into the query. */
+  private val MetaGateCol = "__meta_gate"
+
+  /**
+   * Lower one meta-relation atom to its derived binding table — the
+   * Spark analog of the reference's special-relation branches inside
+   * resultsOneVariable/resultsTwoVariables (KB.java:928-1063,1246-1286):
+   *
+   *  - `exists(r, X)` ⇔ ∃y r(X, y) — distinct (pred, subj) pairs;
+   *    `existsInv` uses (pred, obj);
+   *  - `~exists(r, X)` — complement over the reference's universes
+   *    (all relations / all entities in the queried position,
+   *    KB.java:970-993);
+   *  - `hasNumberOfValues{Equals,GreaterThan,SmallerThan}[Inv]<k>(X, r)`
+   *    — per-entity distinct-value counts of relation r compared to k,
+   *    with the reference's k=0 edge cases (KB.java:1000-1055).
+   *
+   * The result has one column per variable of the atom (distinct), or a
+   * [[MetaGateCol]] single-row gate when the atom is fully ground.
+   */
+  private[graft] def metaDF(triples: DataFrame, a: Atom): DataFrame = a.p match {
+    case Const(p) if Atom.ExistsFamily.contains(p) =>
+      val inverse = p == Atom.ExistsInv || p == Atom.NotExistsInv
+      val negated = p == Atom.NotExists || p == Atom.NotExistsInv
+      val entCol  = if (inverse) "obj" else "subj"
+      val pairs = triples
+        .select(col("pred").as("__rel"), col(entCol).as("__ent")).distinct()
+      val base =
+        if (!negated) pairs
+        else (a.s, a.o) match {
+          case (Const(r), _) => // fixed relation: entity universe minus r's
+            triples.select(col(entCol).as("__ent")).distinct()
+              .join(pairs.filter(col("__rel") === r), Seq("__ent"), "left_anti")
+              .withColumn("__rel", lit(r))
+          case (_, Const(e)) => // fixed entity: relation universe minus e's
+            triples.select(col("pred").as("__rel")).distinct()
+              .join(pairs.filter(col("__ent") === e), Seq("__rel"), "left_anti")
+              .withColumn("__ent", lit(e))
+          case _ => // both variable: relations × entities minus pairs
+            triples.select(col("pred").as("__rel")).distinct()
+              .crossJoin(triples.select(col(entCol).as("__ent")).distinct())
+              .join(pairs, Seq("__rel", "__ent"), "left_anti")
+        }
+      projectMeta(base, Seq(a.s -> "__rel", a.o -> "__ent"))
+
+    case Const(p) =>
+      val cm = Atom.cardinalityMeta(p).getOrElse(
+        throw new IllegalArgumentException(s"not a meta-relation: $p"))
+      val rel = a.o match {
+        case Const(r) => r
+        case _ => throw new UnsupportedOperationException( // KB.java:996-999
+          s"The relation $p does not support variables in the object position")
+      }
+      val (keyCol, valCol) = if (cm.inverse) ("obj", "subj") else ("subj", "obj")
+      val counts = triples.filter(col("pred") === rel)
+        .groupBy(col(keyCol).as("__ent"))
+        .agg(countDistinct(col(valCol)).as("__n"))
+      def universe = triples.select(col(keyCol).as("__ent")).distinct()
+      val base = cm.op match {
+        case Atom.CardEquals if cm.n == 0 => // entities WITHOUT the relation
+          universe.join(counts, Seq("__ent"), "left_anti")
+        case Atom.CardEquals      => counts.filter(col("__n") === cm.n)
+        case Atom.CardGreaterThan => counts.filter(col("__n") > cm.n)
+        case Atom.CardSmallerThan => // count 0 entities included (KB.java:1036-1054)
+          universe.join(counts, Seq("__ent"), "left")
+            .filter(coalesce(col("__n"), lit(0L)) < cm.n)
+        case other => throw new IllegalArgumentException(other)
+      }
+      projectMeta(base, Seq(a.s -> "__ent"))
+  }
+
+  /** Bind a derived table's internal columns to the atom's terms:
+    * constants filter, variables rename, a variable repeated across
+    * positions becomes an equality; no variables ⇒ 1-row gate. */
+  private def projectMeta(df: DataFrame, binds: Seq[(Term, String)]): DataFrame = {
+    var t = df
+    binds.foreach {
+      case (Const(v), c) => t = t.filter(col(c) === lit(v))
+      case _             =>
+    }
+    val varBinds = binds.collect { case (v: Var, c) => (v, c) }
+    varBinds.groupBy(_._1).values.filter(_.size > 1).foreach { g =>
+      g.map(_._2).sliding(2).foreach {
+        case Seq(c1, c2) => t = t.filter(col(c1) === col(c2))
+        case _           =>
+      }
+    }
+    val proj = varBinds.map(_._1).distinct.map { v =>
+      col(varBinds.find(_._1 == v).get._2).as(v.name)
+    }
+    if (proj.isEmpty) t.limit(1).select(lit(true).as(MetaGateCol))
+    else t.select(proj: _*).distinct()
   }
 
   /** Distinct bindings of `vs` — reference selectDistinct (KB.java:1876-2366). */

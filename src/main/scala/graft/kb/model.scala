@@ -30,6 +30,15 @@ final case class Atom(s: Term, p: Term, o: Term) {
     case Const(Atom.DifferentFrom) | Const(Atom.Equals) => true
     case _                                              => false
   }
+  /** Meta-relation atom (reference AbstractKB.java:102-133 `exists`
+    * family + Schema.java:130-160 composite cardinality relations):
+    * lowered by [[QueryBuilder]] to a derived binding table instead of a
+    * triples scan. Pseudo-atoms (pure filters) are NOT meta. */
+  def isMeta: Boolean = p match {
+    case Const(p0) =>
+      Atom.ExistsFamily.contains(p0) || Atom.cardinalityMeta(p0).isDefined
+    case _ => false
+  }
   override def toString: String = {
     def t(x: Term) = x match { case Var(n) => s"?$n"; case Const(v) => v }
     s"${t(p)}(${t(s)}, ${t(o)})"
@@ -38,6 +47,30 @@ final case class Atom(s: Term, p: Term, o: Term) {
 object Atom {
   val DifferentFrom = "differentFrom"
   val Equals        = "equals"
+
+  /** `exists(r, X)` ⇔ ∃y r(X, y) — AbstractKB.java:109. */
+  val Exists       = "exists"
+  /** `existsInv(r, X)` ⇔ ∃y r(y, X) — AbstractKB.java:115. */
+  val ExistsInv    = "existsInv"
+  /** `~exists(r, X)` ⇔ ¬∃y r(X, y) — AbstractKB.java:121. */
+  val NotExists    = "~exists"
+  /** `~existsInv(r, X)` ⇔ ¬∃y r(y, X) — AbstractKB.java:127. */
+  val NotExistsInv = "~existsInv"
+  val ExistsFamily: Set[String] = Set(Exists, ExistsInv, NotExists, NotExistsInv)
+
+  /** Parsed composite cardinality relation, e.g.
+    * `hasNumberOfValuesGreaterThan2` (Schema.java:158-161,172-196:
+    * `compose(relation, n)`). `inverse` counts subjects-per-object. */
+  final case class CardMeta(op: String, inverse: Boolean, n: Int)
+  val CardEquals      = "Equals"
+  val CardGreaterThan = "GreaterThan"
+  val CardSmallerThan = "SmallerThan"
+  private val CardRe =
+    "hasNumberOfValues(Equals|GreaterThan|SmallerThan)(Inv)?([0-9]+)".r
+  def cardinalityMeta(p: String): Option[CardMeta] = p match {
+    case CardRe(op, inv, n) => Some(CardMeta(op, inv != null, n.toInt))
+    case _                  => None
+  }
 }
 
 /** A materialized fact row. Column names are the engine-wide contract. */
