@@ -383,6 +383,41 @@ object SparkEntry {
         .where(col("pred").isin("custNation", "suppNation", "nationRegion", "custRegion"))
       val rules = new Miner(dims,
         MinerConfig(minSupport = 20, minHeadCoverage = 0.05, minPcaConfidence = 0.5)).mine()
+      // Self-gating (depth-3 BFS is not SQL-expressible, so no DuckDB
+      // oracle — instead the entry refuses to return unless the planted
+      // depth-3 rule custNation(c,n) ∧ nationRegion(n,r) ⇒ custRegion(c,r)
+      // was recovered with metrics matching an INDEPENDENT raw-SQL
+      // computation over the same dims KB, and every emitted rule
+      // satisfies the mining thresholds.
+      rules.foreach { r =>
+        require(r.support >= 20 && r.headCoverage >= 0.05 - 1e-12 &&
+          r.pcaConfidence >= 0.5 - 1e-12,
+          s"emitted rule violates thresholds: $r")
+      }
+      val planted = Rule(
+        Atom(Var("c"), Const("custRegion"), Var("r")),
+        List(Atom(Var("c"), Const("custNation"), Var("n")),
+          Atom(Var("n"), Const("nationRegion"), Var("r"))))
+      val got = rules.find(_.rule.canonical == planted.canonical).getOrElse(
+        sys.error("planted depth-3 rule not recovered: " + planted.amieString))
+      dims.createOrReplaceTempView("mined_dims_check")
+      val exp = s.sql(
+        """WITH cn AS (SELECT subj c, obj n FROM mined_dims_check WHERE pred='custNation'),
+          |     nr AS (SELECT subj n, obj r FROM mined_dims_check WHERE pred='nationRegion'),
+          |     cr AS (SELECT subj c, obj r FROM mined_dims_check WHERE pred='custRegion'),
+          |     body AS (SELECT DISTINCT cn.c, nr.r FROM cn JOIN nr ON cn.n = nr.n)
+          |SELECT
+          |  (SELECT count(*) FROM (SELECT DISTINCT b.c, b.r FROM body b
+          |     JOIN cr ON b.c = cr.c AND b.r = cr.r)) AS support,
+          |  (SELECT count(*) FROM body) AS body_size,
+          |  (SELECT count(*) FROM (SELECT DISTINCT b.c, b.r FROM body b
+          |     JOIN cr ON b.c = cr.c)) AS pca_body_size
+          |""".stripMargin).head()
+      require(got.support == exp.getLong(0) && got.bodySize == exp.getLong(1) &&
+        got.pcaBodySize == exp.getLong(2),
+        s"planted-rule metrics mismatch: mined (${got.support}, ${got.bodySize}, " +
+          s"${got.pcaBodySize}) vs independent SQL (${exp.getLong(0)}, " +
+          s"${exp.getLong(1)}, ${exp.getLong(2)})")
       RuleSink.toDF(s, rules)
     },
 

@@ -173,10 +173,46 @@ object QueryBuilder {
   /** #distinct bindings of `vs` — reference countDistinct / countDistinctPairs
     * (KB.java:1860-1862,3064-3105). Exact, per BASELINE.md (no approx). */
   def countDistinctBindings(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom]): Long = {
-    val df = bindings(triples, atoms)
+    val df = bindings(triples,
+      dropRedundantDupAtoms(atoms, vs.map(_.name).toSet))
     val c  = if (vs.size == 1) countDistinct(col(vs.head.name))
              else countDistinct(struct(vs.map(v => col(v.name)): _*))
     df.agg(c.as("n")).collect()(0).getLong(0)
+  }
+
+  /**
+   * rewriteProjectionQuery parity (DefaultMiningAssistant.java:538-586,
+   * driven by AbstractKB.identifyHardQueryTypeI:292-317): in a type-I
+   * hard shape `r(a, c) ∧ r(b, c)` — same relation, shared variable at
+   * one position, different variables at the other — the atom whose
+   * differing variable occurs nowhere else in the query and is not
+   * projected is implied by its twin (`∃a r(a,c)` follows from `r(b,c)`
+   * at any bound `c`), so it never constrains a distinct projection.
+   * Dropping it before counting removes one join without changing any
+   * count. Applied to fixpoint; the reference's single-pair rewrite is a
+   * special case.
+   */
+  private[graft] def dropRedundantDupAtoms(
+      atoms: Seq[Atom], projected: Set[String]): Seq[Atom] = {
+    var kept    = atoms.toList
+    var changed = true
+    while (changed) {
+      changed = false
+      val idx = kept.zipWithIndex
+      val victim = (for {
+        (a, i) <- idx if !a.isPseudo && !a.isMeta
+        (b, j) <- idx if j != i && !b.isPseudo && !b.isMeta
+        if a.p.isInstanceOf[Const] && a.p == b.p
+        if Seq(a.s, a.o, b.s, b.o).forall(_.isInstanceOf[Var])
+        dv <- (if (a.s == b.s && a.o != b.o) a.o match { case v: Var => Some(v); case _ => None }
+               else if (a.o == b.o && a.s != b.s) a.s match { case v: Var => Some(v); case _ => None }
+               else None)
+        if !projected.contains(dv.name)
+        if !idx.exists { case (c, k) => k != i && c.vars.contains(dv) }
+      } yield i).headOption
+      victim.foreach { i => kept = kept.patch(i, Nil, 1); changed = true }
+    }
+    kept
   }
 
   /** One atom → projection of the triples table onto its variables. */

@@ -48,7 +48,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   /** Count-distinct of the rule's head variables over a conjunction,
     * as a 1-row DataFrame tagged with (rule_id, kind). */
   private def agg1(ruleId: Int, kind: String, vs: Seq[Var], atoms: Seq[Atom]): DataFrame = {
-    val df = QueryBuilder.bindings(triples, atoms)
+    // type-I dup-relation canonicalization (rewriteProjectionQuery,
+    // DMA:538-586): projection-neutral, one join fewer
+    val df = QueryBuilder.bindings(triples,
+      QueryBuilder.dropRedundantDupAtoms(atoms, vs.map(_.name).toSet))
     val c =
       if (vs.size == 1) countDistinct(col(vs.head.name))
       else countDistinct(struct(vs.map(v => col(v.name)): _*))
@@ -110,7 +113,12 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       else r.head.copy(s = fresh)
     val pcaKeys = pcaHead.vars.filterNot(_ == fresh).map(_.name).distinct
     if (pcaKeys.isEmpty || !pcaKeys.forall(bodyVars)) return None
-    val base  = QueryBuilder.bindings(triples, r.body)
+    // the body feeds three counts, so an atom is only redundant if its
+    // differing variable is outside ALL of the count/marker key sets
+    // (rewriteProjectionQuery parity, DMA:538-586)
+    val base  = QueryBuilder.bindings(triples,
+      QueryBuilder.dropRedundantDupAtoms(r.body,
+        (hv.map(_.name) ++ headKeys ++ pcaKeys).toSet))
     // support-only count constraints (seeds-count bias) ride in the head
     // marker: they only touch head variables, so the marker's distinct
     // key set is exactly the constrained support key set

@@ -267,4 +267,41 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(refreshed.totalFacts == full.totalFacts)
     assert(!refreshed.relations.contains("r3")) // fully-deleted relation drops out
   }
+
+  test("rewriteProjectionQuery parity: type-I dup-relation atom dropped, counts unchanged (DMA:538-586)") {
+    import spark.implicits._
+    // r(a, c) ∧ r(b, c): counting distinct (b, c), 'a' is existential and
+    // appears nowhere else — the r(a, c) atom is implied by r(b, c)
+    val kb = Seq(
+      ("s1", "r", "o1"), ("s2", "r", "o1"), ("s3", "r", "o2"),
+      ("s1", "q", "o2"), ("s4", "q", "o1")).toDF("subj", "pred", "obj")
+    val atoms = Seq(
+      Atom(Var("a"), Const("r"), Var("c")),
+      Atom(Var("b"), Const("r"), Var("c")),
+      Atom(Var("b"), Const("q"), Var("d")))
+    val proj = Set("b", "c")
+    val rewritten = QueryBuilder.dropRedundantDupAtoms(atoms, proj)
+    assert(rewritten == atoms.tail, "the dup-relation atom with the free variable is dropped")
+    // counts agree (countDistinctBindings applies the rewrite internally;
+    // compare against the unrewritten plan computed directly)
+    def cnt(as: Seq[Atom]): Long =
+      QueryBuilder.bindings(kb, as).select("b", "c").distinct().count()
+    assert(cnt(atoms) == cnt(rewritten))
+    assert(QueryBuilder.countDistinctBindings(kb, Seq(Var("b"), Var("c")), atoms) == cnt(atoms))
+    // the rewritten plan has one fewer join
+    def joins(as: Seq[Atom]): Int =
+      QueryBuilder.bindings(kb, as).queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(rewritten) == joins(atoms) - 1)
+    // NOT dropped when the differing variable is projected…
+    assert(QueryBuilder.dropRedundantDupAtoms(atoms, Set("a", "b", "c")) == atoms)
+    // …or appears in another atom (a pseudo-atom counts as an occurrence)
+    val guarded = atoms :+ Atom(Var("a"), Const(Atom.DifferentFrom), Var("b"))
+    assert(QueryBuilder.dropRedundantDupAtoms(guarded, proj) == guarded)
+    // fixpoint: two independent dup shapes both collapse
+    val twoShapes = atoms ++ Seq(
+      Atom(Var("e"), Const("q"), Var("d"))) // q(b,d) ∧ q(e,d), e free
+    assert(QueryBuilder.dropRedundantDupAtoms(twoShapes, proj) == atoms.tail)
+  }
 }
