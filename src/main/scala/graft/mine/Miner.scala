@@ -4,6 +4,19 @@ import graft.kb._
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 
+/** Metric driving the per-level significance threshold (the reference's
+  * `-pm` selector, mining/src/main/java/amie/mining/utils/AMIEOptions.java:48
+  * and AMIE.java:457-467 getCountThreshold). The reference picks exactly one
+  * of support/headcoverage; [[PruningMetric.Both]] is this engine's stricter
+  * default (max of the two), equal to either reference mode when the other
+  * threshold sits at its no-op floor. */
+sealed trait PruningMetric
+object PruningMetric {
+  case object Support      extends PruningMetric
+  case object HeadCoverage extends PruningMetric
+  case object Both         extends PruningMetric
+}
+
 /**
  * AMIE mining configuration — defaults mirror the reference
  * (mining/src/main/java/amie/mining/AMIE.java:52-75, Parameters.txt):
@@ -32,6 +45,13 @@ final case class MinerConfig(
     /** max occurrences of one relation in a rule (recursivity guard,
       * DefaultMiningAssistant.java:212-214). */
     maxRelationOccurrence: Int = 2,
+    /** which metric drives the per-level count threshold (AMIEOptions
+      * -pm, AMIE.java:458-467 getCountThreshold): Support = the absolute
+      * minSupport alone; HeadCoverage = ceil(minHC × headSize) alone.
+      * [[PruningMetric.Both]] (engine default) applies the max of the
+      * two — identical to either reference mode whenever the other
+      * threshold sits at its no-op floor. */
+    pruningMetric: PruningMetric = PruningMetric.Both,
     /** restrict mined heads to these relations (AMIEOptions -htr);
       * empty = all relations seed. */
     headTargetRelations: Seq[String] = Nil,
@@ -112,16 +132,26 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       QueryBuilder.countDistinctBindings(kb, countVarsOf(seedRule), seedRule.head :: cc))
   }
 
-  /** Per-head-relation support threshold (AMIE.java:457-467). */
-  private def supportThreshold(rel: String): Long =
-    math.max(config.minSupport,
-      math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
+  /** Per-head-relation count threshold, selected by the pruning metric
+    * (AMIE.java:457-467 getCountThreshold; -pm). */
+  private def supportThreshold(rel: String): Long = config.pruningMetric match {
+    case PruningMetric.Support      => config.minSupport
+    case PruningMetric.HeadCoverage => math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong
+    case PruningMetric.Both =>
+      math.max(config.minSupport,
+        math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
+  }
 
   /** Seed-only threshold (AMIEOptions -minis). */
   private def initialThreshold(rel: String): Long = {
     val floor = if (config.minInitialSupport >= 0) config.minInitialSupport
                 else config.minSupport
-    math.max(floor, math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
+    config.pruningMetric match {
+      case PruningMetric.Support      => floor
+      case PruningMetric.HeadCoverage => math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong
+      case PruningMetric.Both =>
+        math.max(floor, math.ceil(config.minHeadCoverage * headSizeOf(rel)).toLong)
+    }
   }
 
   /** Seed rules `⇒ r(x,y)` for every relation large enough (DMA:81-88);
@@ -261,7 +291,10 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       for ((n, _, _, _) <- kept) {
         val s = scored(n.rule.canonical)
         val pass = s.support >= supportThreshold(headRel(n.rule)) &&
-          s.headCoverage >= config.minHeadCoverage &&
+          // under -pm support, head coverage is not a pruning criterion
+          // (AMIE.java:853-867: one metric drives significance)
+          (config.pruningMetric == PruningMetric.Support ||
+            s.headCoverage >= config.minHeadCoverage) &&
           s.stdConfidence >= config.minStdConfidence &&
           s.pcaConfidence >= config.minPcaConfidence &&
           s.pcaConfidence > n.ancestorConf // skyline
@@ -435,6 +468,19 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         reguarded += ((child, floor))
       }
     }
+    // Exists-rewrite variant (ExistentialRulesMiningAssistant
+    // .getClosingAtoms :46-79, via MiningBias.ExistentialRules): a
+    // refinable rule with open variables ALSO spawns the candidate where
+    // each atom carrying one becomes an exists/existsInv meta-atom.
+    // The rewrite replaces whole atoms, so support changes entirely —
+    // the child joins the same re-measure batch.
+    if (bias.existsRewrites) {
+      for (n <- nodes if refinable(n); child <- existsRewrite(n.rule)) {
+        val floor = math.max(n.ancestorConf,
+          outputConf.getOrElse(n.rule.canonical, -1.0))
+        reguarded += ((child, floor))
+      }
+    }
     // re-measure guarded/specialized children in chunked jobs (the guard
     // only shrinks support, so the threshold must be re-checked —
     // DMA:381-393; specialized atoms change support entirely)
@@ -456,6 +502,35 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     }
     children ++= finishInstantiations(plan, res(1), refinable, outputConf)
     children.toSeq
+  }
+
+  /**
+   * Exists-rewritten variant of a rule with open variables
+   * (ExistentialRulesMiningAssistant.getClosingAtoms :46-79): every
+   * POSITIVE body atom carrying an open variable is replaced by the
+   * meta-atom asserting that variable's existential —
+   * `r(z, o)` with z open → `existsInv(r, o)` (∃s r(s, o));
+   * `r(s, z)` with z open → `exists(r, s)` (∃o r(s, o)).
+   * None when there is nothing to rewrite or the shape is one the
+   * reference handles degenerately (see [[MiningBias.ExistentialRules]]
+   * for the two documented deviations): an atom with BOTH ends open
+   * (reference aborts, :53-55), an open variable in the head or in a
+   * pseudo/meta atom, or a variable relation position.
+   */
+  private[graft] def existsRewrite(r: Rule): Option[Rule] = {
+    val open = r.openVars.map(_.name).toSet
+    def isOpen(t: Term) = t match { case v: Var => open(v.name); case _ => false }
+    if (open.isEmpty || r.head.vars.exists(v => open(v.name))) return None
+    val (touched, untouched) = r.body.partition(a => a.vars.exists(v => open(v.name)))
+    if (touched.exists(a => a.isPseudo || a.isMeta)) return None
+    val rewritten = touched.map { a =>
+      (isOpen(a.s), isOpen(a.o), a.p) match {
+        case (true, false, p: Const) => Atom(p, Const(Atom.ExistsInv), a.o)
+        case (false, true, p: Const) => Atom(p, Const(Atom.Exists), a.s)
+        case _                       => return None
+      }
+    }
+    Some(Rule(r.head, (untouched ++ rewritten).distinct))
   }
 
   /** Type-specialized children of one rule (no support yet): last body

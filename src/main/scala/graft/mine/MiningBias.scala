@@ -79,6 +79,11 @@ sealed trait MiningBias {
     * .getInitialAtoms). */
   def instantiatedHeadSeeds: Boolean = false
 
+  /** Also rewrite refinable rules' open-variable atoms into
+    * exists/existsInv meta-atoms ([[MiningBias.ExistentialRules]],
+    * ExistentialRulesMiningAssistant.getClosingAtoms :46-79). */
+  def existsRewrites: Boolean = false
+
   /** May variable `name` stay open in an emitted rule? Drives the
     * last-level closing requirement (DMA:127-137 max-length pruning):
     * a closing atom at the depth limit must leave open only variables
@@ -285,5 +290,31 @@ object MiningBias {
     }
     override def mayStayOpenAtOutput(r: Rule, name: String): Boolean =
       r.headVars.exists(_.name == name)
+  }
+
+  /**
+   * ExistentialRulesMiningAssistant (experimental/
+   * ExistentialRulesMiningAssistant.java:14-81 — reachable only through
+   * the factory's reflective FQCN `-bias` branch,
+   * MiningAssistantFactory.java:48-73): default counting, plus a
+   * refinement-time operator that ALSO emits, for a rule with open
+   * variables, the variant where every atom carrying an open variable
+   * becomes an exists/existsInv meta-atom — the open variable drops out
+   * as an existential ([[graft.mine.Miner.existsRewrite]]). Two
+   * documented deviations from the (dead-code) original:
+   * (a) the reference maps subject-open → exists and object-open →
+   *     existsInv (:56-63), which under its own KB semantics
+   *     (KB.java:957-968: exists(r, X) ranges over SUBJECTS of r)
+   *     asserts the wrong position — here the logically-faithful
+   *     mapping is used (subject-open → existsInv(rel, obj),
+   *     object-open → exists(rel, subj));
+   * (b) rules whose HEAD carries an open variable are not rewritten:
+   *     the reference hardwires exists-head cardinality to -1
+   *     (:18-29), so their head coverage is negative and they can never
+   *     reach the output — not generating them is observably identical.
+   */
+  case object ExistentialRules extends MiningBias {
+    def countVars(metrics: Metrics, r: Rule): Seq[Var] = r.headVars
+    override def existsRewrites: Boolean = true
   }
 }

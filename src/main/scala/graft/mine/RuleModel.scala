@@ -116,6 +116,19 @@ final case class Rule(head: Atom, body: List[Atom]) {
     varToken.replaceAllIn(s, m => rename(m.matched))
   }
 
+  /** Reverse-datalog rendering (Rule.getReverseDatalogRuleString,
+    * rules/.../Rule.java:1238-1266; ReverseDatalogLikeRuleFormatter.java):
+    * body atoms in sortBody (pred, obj, subj) order as `p(s,o)`,
+    * differentFrom pseudo-atoms as `s!=o`, then ` => h(s,o)`. */
+  def reverseDatalogString: String = {
+    def t(x: Term): String = x match { case Var(n) => s"?$n"; case Const(v) => v }
+    def atomStr(a: Atom) =
+      if (a.p == Const(Atom.DifferentFrom)) s"${t(a.s)}!=${t(a.o)}"
+      else s"${t(a.p)}(${t(a.s)},${t(a.o)})"
+    val sorted = body.sortBy(a => (t(a.p), t(a.o), t(a.s)))
+    sorted.map(atomStr).mkString("", " ", s"  => ${atomStr(head)}")
+  }
+
   /** Deterministic AMIE-style rule string: body atoms sorted by
     * (pred, obj, subj) then ` => ` head (Rule.java:1186-1236). */
   def amieString: String = {

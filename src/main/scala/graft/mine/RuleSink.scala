@@ -55,6 +55,32 @@ object RuleSink {
       .orderBy("Rule")
   }
 
+  /** Reverse-datalog format (ReverseDatalogLikeRuleFormatter.java:5-17):
+    * same columns as the default, rule rendered body-first
+    * `b1(s,o) b2(s,o)  => h(s,o)`. */
+  def toReverseDatalogDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {
+    import spark.implicits._
+    rules
+      .map(s => (s.rule.reverseDatalogString, s.headCoverage, s.stdConfidence,
+        s.pcaConfidence, s.support, s.supportRatio, s.bodySize, s.pcaBodySize,
+        s.functionalVariable, s.stdConfUpperBound, s.pcaConfUpperBound,
+        s.pcaConfEstimation))
+      .toDF(Columns: _*)
+      .orderBy("Rule")
+  }
+
+  /** Default format with confidence families omitted
+    * (NoStdDefaultRuleFormatter.java:17-41): omitting std drops
+    * BodySize + StdConfidence; omitting PCA drops PcaBodySize +
+    * PcaConfidence (the reference's `-ompca` flag maps to omitPca). */
+  def toNoStdDF(spark: SparkSession, rules: Seq[ScoredRule],
+      omitStd: Boolean, omitPca: Boolean): DataFrame = {
+    val dropped =
+      (if (omitStd) Seq("BodySize", "StdConfidence") else Nil) ++
+      (if (omitPca) Seq("PcaBodySize", "PcaConfidence") else Nil)
+    toDF(spark, rules).drop(dropped: _*)
+  }
+
   /** AnyBURL export (AnyBurlFormatter.java:38-43 column set, headerless):
     * PcaBodySize, Support, PcaConfidence, Rule-with-X/Y/A… variables. */
   def toAnyBurlDF(spark: SparkSession, rules: Seq[ScoredRule]): DataFrame = {

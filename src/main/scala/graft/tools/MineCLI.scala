@@ -3,7 +3,6 @@ package graft.tools
 import graft.Sessions
 import graft.kb.Taxonomy
 import graft.mine._
-import graft.sources.{RdfFacts, TsvFacts}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /**
@@ -33,16 +32,20 @@ object MineCLI {
       |  -i <path>       input facts: .tsv/.csv (subj<TAB>pred<TAB>obj), .nt, .ttl, or parquet dir
       |  -ifmt <f>       force input format: tsv|nt|ttl|parquet
       |  -o <path>       output directory for the rule TSV
-      |  -ofmt <f>       output format: tsv (default) | datalog | anyburl
+      |  -ofmt <f>       output format: tsv (default) | datalog | reversedatalog | anyburl
+      |  -ompca          omit the PCA confidence columns from the output
       |  -mins <n>       min absolute support            (default 100)
       |  -minis <n>      min initial (seed) support      (default = -mins)
       |  -minhc <x>      min head coverage               (default 0.01)
+      |  -pm <m>         pruning metric: support | headcoverage
+      |                  (default: both thresholds apply, max of the two)
       |  -minpca <x>     min PCA confidence              (default 0.1)
       |  -minc <x>       min standard confidence         (default 0.0)
       |  -maxad <n>      max rule length in atoms        (default 3)
       |  -const          enable constants (O_I instantiation)
       |  -bias <b>       default|oneVar|lazy|signatured|anyburl|seedsCount|
-      |                  instantiatedHead|existential|typed (default: default)
+      |                  instantiatedHead|existential|existentialRules|typed
+      |                  (default: default)
       |  -htr r1,r2      head target relations
       |  -hexr r1,r2     head excluded relations
       |  -bexr r1,r2     body excluded relations
@@ -55,7 +58,8 @@ object MineCLI {
 
   final case class Args(
       input: String = "", output: String = "", ifmt: String = "",
-      ofmt: String = "tsv", cores: Int = Runtime.getRuntime.availableProcessors(),
+      ofmt: String = "tsv", omitPca: Boolean = false,
+      cores: Int = Runtime.getRuntime.availableProcessors(),
       config: MinerConfig = MinerConfig(), biasName: String = "default")
 
   private[graft] def parse(argv: Seq[String]): Args = {
@@ -70,6 +74,12 @@ object MineCLI {
       case "-mins" :: v :: t   => go(t, a.copy(config = a.config.copy(minSupport = v.toLong)))
       case "-minis" :: v :: t  => go(t, a.copy(config = a.config.copy(minInitialSupport = v.toLong)))
       case "-minhc" :: v :: t  => go(t, a.copy(config = a.config.copy(minHeadCoverage = v.toDouble)))
+      // -pm selector (AMIE.java:853-867): "support" → Support, anything
+      // else the reference silently treats as headcoverage
+      case "-pm" :: v :: t     => go(t, a.copy(config = a.config.copy(
+        pruningMetric = if (v.equalsIgnoreCase("support")) PruningMetric.Support
+                        else PruningMetric.HeadCoverage)))
+      case "-ompca" :: t       => go(t, a.copy(omitPca = true))
       case "-minpca" :: v :: t => go(t, a.copy(config = a.config.copy(minPcaConfidence = v.toDouble)))
       case "-minc" :: v :: t   => go(t, a.copy(config = a.config.copy(minStdConfidence = v.toDouble)))
       case "-maxad" :: v :: t  => go(t, a.copy(config = a.config.copy(maxDepth = v.toInt)))
@@ -90,20 +100,8 @@ object MineCLI {
     a
   }
 
-  private def loadKB(spark: SparkSession, a: Args): DataFrame = {
-    val fmt = if (a.ifmt.nonEmpty) a.ifmt
-      else if (a.input.endsWith(".tsv") || a.input.endsWith(".csv")) "tsv"
-      else if (a.input.endsWith(".nt")) "nt"
-      else if (a.input.endsWith(".ttl") || a.input.endsWith(".n3")) "ttl"
-      else "parquet"
-    fmt match {
-      case "tsv"     => TsvFacts.load(spark, a.input)
-      case "nt"      => RdfFacts.loadNTriples(spark, a.input)
-      case "ttl"     => RdfFacts.loadTurtle(spark, a.input)
-      case "parquet" => spark.read.parquet(a.input).select("subj", "pred", "obj")
-      case other     => sys.error(s"unknown input format: $other")
-    }
-  }
+  private def loadKB(spark: SparkSession, a: Args): DataFrame =
+    FactInput.load(spark, a.input, a.ifmt)
 
   /** Resolve a bias name against the loaded KB. May augment the KB
     * (seedsCount rides its seed-subject set in the KB as a synthetic
@@ -119,6 +117,11 @@ object MineCLI {
       case "anyburl"          => (kb, config.copy(bias = MiningBias.AnyBurl))
       case "instantiatedHead" => (kb, config.copy(bias = MiningBias.InstantiatedHead))
       case "existential"      => (kb, config.copy(bias = MiningBias.Existential))
+      // the reference reaches this assistant only by FQCN reflection
+      // (MiningAssistantFactory.java:48-73) — accept that spelling too
+      case "existentialRules" |
+           "amie.mining.assistant.experimental.ExistentialRulesMiningAssistant" =>
+        (kb, config.copy(bias = MiningBias.ExistentialRules))
       case "seedsCount" =>
         // schema KB = the data KB itself in the single-input CLI (the
         // reference takes an optional second KB; pass one by unioning)
@@ -153,10 +156,12 @@ object MineCLI {
       val rules  = new Miner(kb, config).mine()
       val sec    = (System.nanoTime() - t0) / 1e9
       val df = a.ofmt match {
-        case "tsv"     => RuleSink.toDF(spark, rules)
-        case "datalog" => RuleSink.toDatalogDF(spark, rules)
-        case "anyburl" => RuleSink.toAnyBurlDF(spark, rules)
-        case other     => sys.error(s"unknown output format: $other")
+        case "tsv" if a.omitPca => RuleSink.toNoStdDF(spark, rules, omitStd = false, omitPca = true)
+        case "tsv"              => RuleSink.toDF(spark, rules)
+        case "datalog"          => RuleSink.toDatalogDF(spark, rules)
+        case "reversedatalog"   => RuleSink.toReverseDatalogDF(spark, rules)
+        case "anyburl"          => RuleSink.toAnyBurlDF(spark, rules)
+        case other              => sys.error(s"unknown output format: $other")
       }
       df.coalesce(1).write.mode("overwrite")
         .option("sep", "\t").option("header", "true").csv(a.output)

@@ -141,6 +141,63 @@ class ExperimentalBiasSpec extends AnyFunSuite {
     assert(rules.forall(s => s.rule.head.p != Const("small")))
   }
 
+  test("existentialRules bias: open-variable atoms rewrite to exists meta-atoms") {
+    import spark.implicits._
+    // knows∧∃vip ⇒ trusts holds exactly (A,B,C); D knows X but trusts
+    // only Y (keeps knows ⇒ trusts at PCA 0.75 so it stays refinable),
+    // so the rewritten rule (PCA 1.0) clears the skyline floor
+    val kb = Seq(
+      Triple("A", "knows", "X"), Triple("B", "knows", "X"),
+      Triple("C", "knows", "X"), Triple("D", "knows", "X"),
+      Triple("A", "vip", "1"), Triple("B", "vip", "1"), Triple("C", "vip", "1"),
+      Triple("A", "trusts", "X"), Triple("B", "trusts", "X"),
+      Triple("C", "trusts", "X"), Triple("D", "trusts", "Y")).toDF()
+    val cfg = MinerConfig(minSupport = 2, minHeadCoverage = 0.1,
+      minPcaConfidence = 0.1, maxDepth = 4, bias = MiningBias.ExistentialRules)
+    val rules = new Miner(kb, cfg).mine()
+    val rewritten = rules.find(s =>
+      s.rule.head.p == Const("trusts") &&
+      s.rule.body.toSet == Set(
+        Atom(Var("x"), Const("knows"), Var("y")),
+        Atom(Const("vip"), Const(Atom.Exists), Var("x"))))
+    assert(rewritten.isDefined, rules.map(_.rule.amieString).mkString("\n"))
+    assert(rewritten.get.support == 3)
+    assert(rewritten.get.stdConfidence == 1.0)
+    assert(rewritten.get.pcaConfidence == 1.0)
+    assert(rewritten.get.headCoverage == 0.75)
+    // the default bias never emits meta-atom rules on the same KB
+    val plain = new Miner(kb, cfg.copy(bias = MiningBias.Default)).mine()
+    assert(plain.forall(_.rule.body.forall(!_.isMeta)))
+  }
+
+  test("existsRewrite shape guards: head-open, both-ends-open, meta-carried") {
+    import spark.implicits._
+    val miner = new Miner(Seq(Triple("a", "r", "b")).toDF(),
+      MinerConfig(bias = MiningBias.ExistentialRules))
+    def r(head: Atom, body: Atom*) = Rule(head, body.toList)
+    val h = Atom(Var("x"), Const("h"), Var("y"))
+    // open z in a body atom → exists-rewritten (z in object → exists(rel, subj))
+    val ok = miner.existsRewrite(r(h,
+      Atom(Var("x"), Const("b1"), Var("y")), Atom(Var("x"), Const("b2"), Var("z"))))
+    assert(ok.contains(Rule(h, List(
+      Atom(Var("x"), Const("b1"), Var("y")),
+      Atom(Const("b2"), Const(Atom.Exists), Var("x"))))))
+    // open z in subject → existsInv(rel, obj)
+    val inv = miner.existsRewrite(r(h,
+      Atom(Var("x"), Const("b1"), Var("y")), Atom(Var("z"), Const("b2"), Var("x"))))
+    assert(inv.contains(Rule(h, List(
+      Atom(Var("x"), Const("b1"), Var("y")),
+      Atom(Const("b2"), Const(Atom.ExistsInv), Var("x"))))))
+    // head open variable → reference-degenerate (-1 head cardinality): skip
+    assert(miner.existsRewrite(r(h, Atom(Var("x"), Const("b1"), Var("z")))).isEmpty)
+    // both ends of one atom open → reference aborts (:53-55)
+    assert(miner.existsRewrite(r(h,
+      Atom(Var("x"), Const("b1"), Var("y")),
+      Atom(Var("z1"), Const("b2"), Var("z2")))).isEmpty)
+    // nothing open → nothing to rewrite
+    assert(miner.existsRewrite(r(h, Atom(Var("x"), Const("b1"), Var("y")))).isEmpty)
+  }
+
   test("MineCLI parses the AMIE flag surface") {
     val a = MineCLI.parse(Seq("-i", "/x.tsv", "-o", "/out", "-mins", "7",
       "-minis", "9", "-minhc", "0.2", "-minpca", "0.3", "-minc", "0.4",
@@ -156,6 +213,14 @@ class ExperimentalBiasSpec extends AnyFunSuite {
     assert(a.config.bodyExcludedRelations == Set("r3"))
     assert(a.config.maxRelationOccurrence == 3)
     assert(a.biasName == "lazy")
+    assert(a.config.pruningMetric == PruningMetric.Both) // engine default
+
+    // -pm selector (AMIE.java:853-867): support | anything-else=headcoverage
+    val pmS = MineCLI.parse(Seq("-i", "/x", "-o", "/o", "-pm", "support"))
+    assert(pmS.config.pruningMetric == PruningMetric.Support)
+    val pmH = MineCLI.parse(Seq("-i", "/x", "-o", "/o", "-pm", "headcoverage"))
+    assert(pmH.config.pruningMetric == PruningMetric.HeadCoverage)
+    assert(MineCLI.parse(Seq("-i", "/x", "-o", "/o", "-ompca")).omitPca)
   }
 
   test("MineCLI bias resolution: seedsCount augments the KB, typed presets the config") {
@@ -170,6 +235,10 @@ class ExperimentalBiasSpec extends AnyFunSuite {
       cfgTyped.instantiationTargetRelations == Seq("rdf:type"))
     val (_, cfgEx) = MineCLI.resolve("existential", kb, MinerConfig())
     assert(cfgEx.bias == MiningBias.Existential)
+    val (_, cfgER) = MineCLI.resolve(
+      "amie.mining.assistant.experimental.ExistentialRulesMiningAssistant",
+      kb, MinerConfig())
+    assert(cfgER.bias == MiningBias.ExistentialRules)
   }
 
   test("MineCLI end-to-end: TSV in, reference-format rule TSV out") {

@@ -27,6 +27,19 @@ class MinerSpec extends AnyFunSuite {
     assert(r1.get.pcaConfidence == 1.0)
   }
 
+  test("pruning metric selector: -pm support ignores head coverage (AMIE.java:457-467,853-867)") {
+    // R1 (worksAt∧isLocatedIn ⇒ livesIn) has support 3, headCoverage 0.75;
+    // with minhc 0.9 only the support-driven mode may emit it
+    def mine(pm: PruningMetric) = new Miner(Fixtures.baseKB(spark),
+      cfg.copy(minHeadCoverage = 0.9, pruningMetric = pm)).mine()
+    def hasR1(rs: Seq[ScoredRule]) = rs.exists(s =>
+      s.rule.head.p == Const("livesIn") &&
+      s.rule.body.map(_.p).toSet == Set(Const("worksAt"), Const("isLocatedIn")))
+    assert(hasR1(mine(PruningMetric.Support)))
+    assert(!hasR1(mine(PruningMetric.HeadCoverage)))
+    assert(!hasR1(mine(PruningMetric.Both)))
+  }
+
   test("no duplicate canonical rules in output") {
     val rules = new Miner(Fixtures.extendedKB(spark), cfg).mine()
     val canon = rules.map(_.rule.canonical)

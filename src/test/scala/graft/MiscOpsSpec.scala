@@ -122,6 +122,64 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(tricky.anyBurlString == "h(X,Y) <= p(X,A), q(A,Y)")
   }
 
+  test("reverse-datalog and NoStd rule formats match reference rendering") {
+    // body-first, sortBody (pred, obj, subj) order, differentFrom as !=
+    // (Rule.getReverseDatalogRuleString, Rule.java:1238-1266)
+    val r = Rule(Atom(Var("a"), Const("livesIn"), Var("b")),
+      List(Atom(Var("a"), Const("worksAt"), Var("c")),
+        Atom(Var("c"), Const("isLocatedIn"), Var("b")),
+        Atom(Var("a"), Const(Atom.DifferentFrom), Var("c"))))
+    assert(r.reverseDatalogString ==
+      "?a!=?c isLocatedIn(?c,?b) worksAt(?a,?c)  => livesIn(?a,?b)")
+
+    val scored = Seq(ScoredRule(r, 3, 0.75, 1.0, 1.0, 3, 3, "?a"))
+    val rev = RuleSink.toReverseDatalogDF(spark, scored)
+    assert(rev.columns.toSeq == RuleSink.Columns)
+    assert(rev.collect()(0).getString(0) == r.reverseDatalogString)
+
+    // NoStdDefaultRuleFormatter.java:17-41: omitted families drop their
+    // body-size companion column too
+    assert(RuleSink.toNoStdDF(spark, scored, omitStd = false, omitPca = true)
+      .columns.toSeq == RuleSink.Columns.diff(Seq("PcaBodySize", "PcaConfidence")))
+    assert(RuleSink.toNoStdDF(spark, scored, omitStd = true, omitPca = false)
+      .columns.toSeq == RuleSink.Columns.diff(Seq("BodySize", "StdConfidence")))
+    assert(RuleSink.toNoStdDF(spark, scored, omitStd = false, omitPca = false)
+      .columns.toSeq == RuleSink.Columns)
+  }
+
+  test("QueryCLI: ad-hoc select-distinct with pseudo- and meta-atoms (QueryKB.java:10-34)") {
+    import graft.tools.QueryCLI
+    val kb = Fixtures.baseKB(spark)
+
+    // one variable (reference's selectDistinct(var, atoms) branch)
+    val (v1, a1) = QueryCLI.parseQuery("?x | ?x livesIn Paris")
+    assert(QueryCLI.run(kb, v1, a1).collect().map(_.getString(0)).toSet ==
+      Set("Oana", "Luis", "Thomas", "Antoine"))
+
+    // two variables across a join, plus an inline differentFrom guard
+    val (v2, a2) = QueryCLI.parseQuery(
+      "?x,?y | ?x worksAt ?z  ?z isLocatedIn ?y  ?x differentFrom ?z")
+    val pairs = QueryCLI.run(kb, v2, a2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs == Set("Luis" -> "Paris", "Thomas" -> "Paris", "Antoine" -> "Paris"))
+
+    // inline meta-atoms: livesIn-ers with ≥1 worksAt value (drops Oana);
+    // >1 distinct values drops everyone in the base KB
+    val (v3, a3) = QueryCLI.parseQuery(
+      "?x | ?x livesIn ?c  ?x hasNumberOfValuesGreaterThan0 worksAt")
+    assert(QueryCLI.run(kb, v3, a3).collect().map(_.getString(0)).toSet ==
+      Set("Luis", "Thomas", "Antoine"))
+    val (v4, a4) = QueryCLI.parseQuery(
+      "?x | ?x livesIn ?c  ?x hasNumberOfValuesGreaterThan1 worksAt")
+    assert(QueryCLI.run(kb, v4, a4).isEmpty)
+
+    // flag surface + projection validation
+    val args = QueryCLI.parse(Seq("?x | ?x r ?y", "-i", "/f.tsv", "-show", "5", "-o", "/out"))
+    assert(args.query == "?x | ?x r ?y" && args.input == "/f.tsv" &&
+      args.show == 5 && args.output == "/out")
+    intercept[IllegalArgumentException](QueryCLI.parseQuery("?nope | ?x r ?y"))
+  }
+
   test("dictionary: dense sorted ids, encode/decode round-trip") {
     val triples = graft.kb.Fixtures.baseKB(spark)
     val dict = Dictionary.build(triples)
