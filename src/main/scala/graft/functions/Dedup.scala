@@ -164,7 +164,14 @@ object Dedup {
     lshFromSignatures(minhashSignatures(docs), maxBucket)
 
   private[graft] def lshFromSignatures(
-      sig: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      sig0: DataFrame, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // the per-band projections UNION over the signature table, and the
+    // bucket join consumes that union several times (occupancy stats +
+    // both self-join sides + star overflow) — without materialization the
+    // shingle-explode + K-way min aggregation behind `sig0` re-executes
+    // once per consumer per band. Invisible at 5k docs; measured 45× the
+    // linear scale-up at 50k (K=10 probe) before this checkpoint.
+    val sig = sig0.localCheckpoint(true)
     val bands = (0 until Bands).map { b =>
       val cols = (0 until Rows).map(r => s"mh${b * Rows + r}")
       sig.select(col("doc_id"), lit(b).as("band"),
@@ -178,7 +185,13 @@ object Dedup {
     * `maxBucket`, star-to-representative pairs within larger ones (see
     * [[DefaultMaxBucket]]). Returns distinct (id_a < id_b) pairs. */
   private[graft] def cappedBucketPairs(
-      rows: DataFrame, keys: Seq[String], id: String, maxBucket: Int): DataFrame = {
+      rows0: DataFrame, keys: Seq[String], id: String, maxBucket: Int): DataFrame = {
+    // the bucket rows feed the occupancy stats, BOTH sides of the pair
+    // self-join and the star overflow; materialize them once so whatever
+    // signature computation produced them (minhash aggregation, hyperplane
+    // md5 folds) runs once, not once per consumer (same localCheckpoint-
+    // over-persist rationale as ngramJaccard above).
+    val rows = rows0.localCheckpoint(true)
     val allPairs = (l: DataFrame) =>
       l.as("a").join(l.as("b"),
           keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
@@ -319,7 +332,9 @@ object Dedup {
    * the previous corpus-block quadratic — the shape that survives 100 TB.
    */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
-    val sh = simhash(docs)
+    // one row per doc; the band self-join otherwise re-runs the 33-way
+    // sign aggregation for each side
+    val sh = simhash(docs).localCheckpoint(true)
     val bands = (0 until SimBands).map { b =>
       sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))

@@ -108,7 +108,10 @@ object Similarity {
    */
   def lshTopK(emb: DataFrame, bands: Int, planes: Int, k: Int,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    // the symmetrization union consumes the candidate pairs twice — without
+    // materialization the whole banded bucket join re-executes per side
     val cand = bandedCandidates(bandedBuckets(emb, bands, planes), maxBucket)
+      .localCheckpoint(true)
     val sym = cand.union(cand.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
     val pairs = sym

@@ -119,8 +119,14 @@ class PlanSpec extends AnyFunSuite {
     val p  = plan(df)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"pair join degenerated:\n$p")
-    // the candidate join's keys are the band + bucket columns
-    assert(p.contains("band") && p.contains("bucket"), s"no banded key:\n$p")
+    // the candidate join's keys are the band + bucket columns; lshTopK
+    // checkpoints its candidate pairs (consumed twice by the symmetrization
+    // union), so assert the banded keys on embeddingNearDups, whose plan
+    // keeps the candidate join inline
+    val pNd = plan(graft.functions.Similarity.embeddingNearDups(emb, minCosine = 0.5))
+    assert(!pNd.contains("CartesianProduct") && !pNd.contains("BroadcastNestedLoopJoin"),
+      s"near-dup pair join degenerated:\n$pNd")
+    assert(pNd.contains("band") && pNd.contains("bucket"), s"no banded key:\n$pNd")
   }
 
   test("KB delta compiles to an anti-join plus union, no full-table rewrite shuffle") {
