@@ -78,6 +78,18 @@ object Bench {
     f"""{"at":"$at","alu_sec":$alu%.3f,"mem_sec":$mem%.3f}"""
   }
 
+  /** Per-round ambient fields (no `at` label): run immediately before a
+    * scaling round so each round's efficiency can be read against the
+    * window it was measured in. A UNIFORMLY degraded window (round 4: all
+    * three thread-pair rounds 0.61-0.68 with BOTH levels' raw seconds
+    * 1.6-2.3× their recorded floors on unchanged code) defeats the
+    * outlier-round defense — these fields make it visible instead.
+    * Clean-window references live in BASELINE.md §calibration. */
+  private def roundProbeFields(): String = {
+    val alu = probeAlu(); val mem = probeMem()
+    f""""probe_alu_sec":$alu%.3f,"probe_mem_sec":$mem%.3f,"""
+  }
+
   /**
    * Run one parallelism level in its own JVM pinned to exactly `cores`
    * CPUs via `taskset`; returns (triples, best-of-`reps` wallSec).
@@ -178,29 +190,30 @@ object Bench {
       * clean sample. */
     def measurePair(label: String, nCores: Int): String = {
       def oneRound() =
-        (pipelineRun(nCores, docs, vocab, innerRepsN),
+        (roundProbeFields(),
+          pipelineRun(nCores, docs, vocab, innerRepsN),
           pipelineRun(4 * nCores, docs, vocab, innerReps4N))
       var pairs = (1 to reps).map(_ => oneRound())
       val degraded = {
-        val minN  = pairs.map(_._1._2).min
-        val min4N = pairs.map(_._2._2).min
-        pairs.count { case ((_, sn), (_, s4n)) =>
+        val minN  = pairs.map(_._2._2).min
+        val min4N = pairs.map(_._3._2).min
+        pairs.count { case (_, (_, sn), (_, s4n)) =>
           sn > 1.4 * minN && s4n > 1.4 * min4N }
       }
       val remeasured = reps > 1 && degraded > 0
       if (remeasured) pairs = pairs :+ oneRound()
-      val t1 = pairs.head._1._1
-      val t4 = pairs.head._2._1
-      val s1 = pairs.map(_._1._2).min
-      val s4 = pairs.map(_._2._2).min
-      val roundEffs = pairs.map { case ((_, sn), (_, s4n)) => sn / s4n / 4.0 }
+      val t1 = pairs.head._2._1
+      val t4 = pairs.head._3._1
+      val s1 = pairs.map(_._2._2).min
+      val s4 = pairs.map(_._3._2).min
+      val roundEffs = pairs.map { case (_, (_, sn), (_, s4n)) => sn / s4n / 4.0 }
       // median; for even round counts take the LOWER middle (conservative)
       val effMedian = roundEffs.sorted.apply((roundEffs.size - 1) / 2)
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
       val effFloor = (tps4N / tpsN) / 4.0
-      val roundsJson = pairs.zip(roundEffs).map { case (((_, sn), (_, s4n)), e) =>
-        f"""{"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
+      val roundsJson = pairs.zip(roundEffs).map { case ((probe, (_, sn), (_, s4n)), e) =>
+        f"""{$probe"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"docs":$docs,"triples":$t4,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
         f""""sec_n":$s1%.3f,"sec_4n":$s4%.3f,"tps_n":$tpsN%.1f,"tps_4n":$tps4N%.1f,""" +
@@ -242,7 +255,8 @@ object Bench {
       // ratio fair) so `procs` concurrent JVMs can't swap the host.
       val procMem = Some(sys.env.getOrElse("SPARK_GRAFT_PROC_MEM", "4g"))
       val shard = docs / procs
-      def oneRound(): (Double, Seq[Double], Double) = {
+      def oneRound(): (String, Double, Seq[Double], Double) = {
+        val probe = roundProbeFields()
         val (_, solo) = pipelineRun(coresEach, shard, vocab, innerRepsN,
           memOverride = procMem)
         val pool = java.util.concurrent.Executors.newFixedThreadPool(procs)
@@ -262,7 +276,7 @@ object Bench {
         // core pair masquerade as contention; the sum is what a cluster's
         // job throughput actually is)
         val eff = solo * concSecs.map(1.0 / _).sum / procs
-        (solo, concSecs, eff)
+        (probe, solo, concSecs, eff)
       }
       var roundRows = (1 to rounds).map(_ => oneRound())
       // Contamination defense (same idea as measurePair): the solo rep is
@@ -272,14 +286,14 @@ object Bench {
       // candidate round so the median is taken over mostly-clean rounds.
       // All rounds stay in the JSON.
       val degraded = {
-        val soloMin = roundRows.map(_._1).min
-        roundRows.count(_._1 > 1.5 * soloMin)
+        val soloMin = roundRows.map(_._2).min
+        roundRows.count(_._2 > 1.5 * soloMin)
       }
       if (rounds > 1 && degraded > 0) roundRows = roundRows :+ oneRound()
-      val effMedian = roundRows.map(_._3).sorted.apply((roundRows.size - 1) / 2)
-      val rjs = roundRows.map { case (s0, cs, e) =>
+      val effMedian = roundRows.map(_._4).sorted.apply((roundRows.size - 1) / 2)
+      val rjs = roundRows.map { case (probe, s0, cs, e) =>
         val csJson = cs.map(c => f"$c%.3f").mkString("[", ",", "]")
-        f"""{"sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
+        f"""{$probe"sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"procs":$procs,"cores_each":$coresEach,"docs_per_proc":$shard,""" +
         f""""rounds":$rjs,"degraded_rounds":$degraded,""" +
