@@ -357,7 +357,8 @@ object Bench {
       "dedup_ngram_jaccard" -> 7.8, "sim_lsh_topk" -> 6.4,
       "dedup_embedding" -> 5.5, "dedup_clusters" -> 2.7,
       "dedup_minhash_lsh" -> 2.2, "kb_encoded" -> 3.0,
-      "dedup_simhash" -> 2.5, "dedup_exact" -> 1.5)
+      "dedup_simhash" -> 2.5, "dedup_exact" -> 1.5,
+      "dedup_simhash_clusters" -> 6.3)
     val defaultFloor = 1.5
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RERUNS", "2").toInt
     val results = sweep.map { case (name, fn) =>

@@ -517,6 +517,13 @@ object SparkEntry {
     // the bucketed implementation
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), maxHamming = 3)),
+    // cluster-keeper scale path: one row per doc instead of the
+    // output-quadratic pair list. maxBucket 512 > the measured max band
+    // occupancy at sf0.01 (301), so no bucket overflows and the all-pairs
+    // CC oracle applies exactly; overflow behavior is spec'd separately
+    "dedup_simhash_clusters" -> ((s, dir) =>
+      Dedup.simhashClusters(t(s, dir, "documents"), maxHamming = 3,
+        maxBucket = 512)),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.embeddingNearDups(t(s, dir, "embeddings"), minCosine = 0.3)),
     "sim_bruteforce_topk" -> ((s, dir) =>
@@ -637,11 +644,11 @@ object SparkEntry {
        |repk AS (SELECT doc AS rep, min(reach) AS keeper FROM r GROUP BY doc)
        |SELECT ex.doc_id, repk.keeper FROM ex JOIN repk ON repk.rep = ex.rep""".stripMargin
 
-  private def simhashCte: String = {
+  private def simhashCte(docsRel: String = "documents"): String = {
     val sums = (0 until 32).map(b => s"SUM((h >> $b) & 1) AS c$b").mkString(", ")
     val bits = (0 until 32)
       .map(b => s"CASE WHEN c$b * 2 > n THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM documents),
+    s"""t AS (SELECT doc_id, list_distinct($toksSql) AS toks FROM $docsRel),
        |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
        |h AS (SELECT doc_id, ${hash32Sql("tk")} AS h FROM tok),
        |agg AS (SELECT doc_id, $sums, count(*) AS n FROM h GROUP BY doc_id),
@@ -708,7 +715,7 @@ object SparkEntry {
          |  (a, x) -> (a * 131 + x) % $P) AS fingerprint
          |FROM t""".stripMargin,
     "text_simhash" ->
-      s"""WITH $simhashCte
+      s"""WITH ${simhashCte()}
          |SELECT doc_id, simhash FROM sh""".stripMargin,
     "dedup_exact" ->
       """SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -791,11 +798,32 @@ object SparkEntry {
     // all-pairs oracle — equals the banded Spark join exactly because
     // maxHamming 3 < 4 bands (pigeonhole)
     "dedup_simhash" ->
-      s"""WITH $simhashCte
+      s"""WITH ${simhashCte()}
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  bit_count(xor(a.simhash, b.simhash)) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // cluster-keeper over the same all-pairs Hamming graph: exact-dedup
+    // reps, edges at hamming <= 3, transitive closure, min id per
+    // component, expanded back through the exact-rep map
+    "dedup_simhash_clusters" ->
+      s"""WITH RECURSIVE
+         |ex AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+         |  FROM documents),
+         |rdocs AS (SELECT d.* FROM documents d
+         |  JOIN ex ON ex.doc_id = d.doc_id AND ex.rep = d.doc_id),
+         |${simhashCte("rdocs")},
+         |ver AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |e AS (SELECT doc_a AS a, doc_b AS b FROM ver
+         |  UNION SELECT doc_b, doc_a FROM ver),
+         |r(doc, reach) AS (
+         |  SELECT doc_id, doc_id FROM rdocs
+         |  UNION
+         |  SELECT r.doc, e.b FROM r JOIN e ON e.a = r.reach),
+         |repk AS (SELECT doc AS rep, min(reach) AS keeper FROM r GROUP BY doc)
+         |SELECT ex.doc_id, repk.keeper FROM ex JOIN repk ON repk.rep = ex.rep""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $bandedCandSql
          |SELECT id_a, id_b, ${cosSql("e1.embedding", "e2.embedding")} AS cos

@@ -246,6 +246,31 @@ object Dedup {
       .select(col("doc_id"), col("keeper"))
   }
 
+  /** LENGTH-PREFIX ids for CC: it picks the LEXICOGRAPHIC min as the
+    * representative, and "0004|" + id orders shorter-before-longer, which
+    * coincides with the numeric min for numeric ids ("10" < "9" under
+    * plain string order otherwise) and never truncates long ids (lpad
+    * would cut ids past its width, colliding distinct docs). Ids keep
+    * their ORIGINAL type end-to-end: the prefixed form is only the CC key
+    * and is mapped back through the (pid → doc_id) projection. */
+  private def pid(c: org.apache.spark.sql.Column) = {
+    val sc = c.cast("string")
+    concat(lpad(length(sc).cast("string"), 4, "0"), lit("|"), sc)
+  }
+
+  /** Shared CC tail of the clustering operators: verified similarity
+    * edges (src/dst in [[pid]] form) → connected components → keeper =
+    * min doc id per cluster; docs in no cluster keep themselves. */
+  private def clustersFromEdges(docs: DataFrame, verified: DataFrame): DataFrame = {
+    val ids  = docs.select(col("doc_id"), pid(col("doc_id")).as("pid"))
+    val comp = graft.plans.ConnectedComponents.run(verified)
+    val mapped = comp
+      .join(ids.select(col("pid").as("component"), col("doc_id").as("keeper")), "component")
+      .select(col("id").as("pid"), col("keeper"))
+    ids.join(mapped, Seq("pid"), "left")
+      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+  }
+
   /** [[nearDupClusters]] body over a corpus already exact-deduped. */
   private def nearDupClustersDistinct(docs: DataFrame, minJaccard: Double,
       maxBucket: Int): DataFrame = {
@@ -275,29 +300,12 @@ object Dedup {
       .join(sh.select(col("doc_id").as("doc_a"), col("ng")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("ng")), Seq("doc_b", "ng"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
-    // LENGTH-PREFIX ids for CC: it picks the LEXICOGRAPHIC min as the
-    // representative, and "0004|" + id orders shorter-before-longer, which
-    // coincides with the numeric min for numeric ids ("10" < "9" under
-    // plain string order otherwise) and never truncates long ids (lpad
-    // would cut ids past its width, colliding distinct docs). Ids keep
-    // their ORIGINAL type end-to-end: the prefixed form is only the CC key
-    // and is mapped back through the (pid → doc_id) projection.
-    def pid(c: org.apache.spark.sql.Column) = {
-      val sc = c.cast("string")
-      concat(lpad(length(sc).cast("string"), 4, "0"), lit("|"), sc)
-    }
     val verified = inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb")), "doc_b")
       .where(col("inter").cast("double") / (col("sza") + col("szb") - col("inter")) >= minJaccard)
       .select(pid(col("doc_a")).as("src"), pid(col("doc_b")).as("dst"))
-    val ids  = docs.select(col("doc_id"), pid(col("doc_id")).as("pid"))
-    val comp = graft.plans.ConnectedComponents.run(verified)
-    val mapped = comp
-      .join(ids.select(col("pid").as("component"), col("doc_id").as("keeper")), "component")
-      .select(col("id").as("pid"), col("keeper"))
-    ids.join(mapped, Seq("pid"), "left")
-      .select(col("doc_id"), coalesce(col("keeper"), col("doc_id")).as("keeper"))
+    clustersFromEdges(docs, verified)
   }
 
   /** 32-bit SimHash per doc: bit b of the fingerprint is set iff more
@@ -335,10 +343,7 @@ object Dedup {
     // one row per doc; the band self-join otherwise re-runs the 33-way
     // sign aggregation for each side
     val sh = simhash(docs).localCheckpoint(true)
-    val bands = (0 until SimBands).map { b =>
-      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
-    }.reduce(_ union _)
+    val bands = simhashBands(sh)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -346,5 +351,49 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .distinct() // a pair may share several bands
+  }
+
+  /** Per-doc (band, band-value) rows over the 32-bit fingerprint — the
+    * bucket keys of [[simhashPairs]] and [[simhashClusters]]. */
+  private def simhashBands(sh: DataFrame): DataFrame =
+    (0 until SimBands).map { b =>
+      sh.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bv"))
+    }.reduce(_ union _)
+
+  /**
+   * SimHash cluster-keeper — the SCALE path for simhash dedup. [[simhashPairs]]
+   * emits EVERY qualifying pair, which is output-bound quadratic on a
+   * duplicate-heavy corpus (the K=10 probe measured 135.8M pairs from 50k
+   * docs); this operator instead returns ONE (doc_id, keeper) row per doc.
+   * Exact-dedup composition first (identical texts have identical distinct
+   * token sets, hence identical fingerprints and a Hamming-0 edge, so the
+   * clustering over exact representatives is the exact quotient — same
+   * argument as [[nearDupClusters]]); candidates via the capped band-bucket
+   * join (exact recall for `maxHamming < SimBands` when buckets fit the
+   * cap, star-to-representative overflow above it); Hamming verification
+   * on candidate pairs only; connected components; keeper = min doc id per
+   * component. Same Manku et al. WWW'07 banding as [[simhashPairs]];
+   * clustering sink is part of the beyond-reference pipeline mandate.
+   */
+  def simhashClusters(docs: DataFrame, maxHamming: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val exactMap = exact(docs).localCheckpoint(true)
+    val repDocs = docs.join(
+      exactMap.where(col("doc_id") === col("keeper")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sh = simhash(repDocs).localCheckpoint(true)
+    val cand = cappedBucketPairs(
+      simhashBands(sh).select("doc_id", "band", "bv"),
+      Seq("band", "bv"), "doc_id", maxBucket).toDF("doc_a", "doc_b")
+    val verified = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
+      .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(pid(col("doc_a")).as("src"), pid(col("doc_b")).as("dst"))
+    val repResult = clustersFromEdges(repDocs, verified)
+    exactMap.select(col("doc_id"), col("keeper").as("rep"))
+      .join(repResult.select(col("doc_id").as("rep"), col("keeper")), "rep")
+      .select(col("doc_id"), col("keeper"))
   }
 }

@@ -76,6 +76,7 @@ object ScaleProbe {
         timed("dedup_minhash_lsh",   Dedup.minhashLsh(docs)),
         timed("dedup_ngram_jaccard", Dedup.ngramJaccard(docs, minJaccard = 0.3, maxShingleDF = 50)),
         timed("dedup_simhash",       Dedup.simhashPairs(docs, maxHamming = 3)),
+        timed("dedup_simhash_clusters", Dedup.simhashClusters(docs, maxHamming = 3)),
         timed("dedup_clusters",      Dedup.nearDupClusters(docs, minJaccard = 0.3)),
         timed("dedup_embedding",     Similarity.embeddingNearDups(emb, minCosine = 0.3)),
         timed("sim_lsh_topk",        Similarity.lshTopK(emb, bands = 2, planes = 8, k = 3)))

@@ -85,6 +85,59 @@ class DedupCapSpec extends AnyFunSuite {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("simhashClusters == union-find over all-pairs simhashPairs (differential)") {
+    // mixed corpus: exact dups, near dups (1-2 token flips on long shared
+    // text keep Hamming small), unrelated singletons
+    val rows = (1L to 30L).map { i =>
+      val body = "shared content words common across docs one two three four five six seven eight"
+      val txt =
+        if (i <= 10) body                                  // exact-dup block
+        else if (i <= 14) body + s" tail$i"                // near dups of the block
+        else s"unique standalone document number $i with words " +
+          s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g"
+      (i, txt, "s1", "en")
+    }
+    val docs = docsDF(rows)
+    // expected: union-find over the EXACT all-pairs Hamming graph
+    val edges = Dedup.simhashPairs(docs, maxHamming = 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((1L to 30L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 30L).map(i => i -> find(i)).toMap
+    val got = Dedup.simhashClusters(docs, maxHamming = 3, maxBucket = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected)
+    // and the capped run (no bucket near the cap here) is identical
+    val capped = Dedup.simhashClusters(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(capped == expected)
+  }
+
+  test("simhashClusters: duplicate-heavy corpus stays linear via exact-dedup composition") {
+    // 2000 identical docs would make every simhash band bucket hot, but the
+    // exact-dedup composition collapses them to ONE representative before
+    // any fingerprinting — the LSH/verify phases see 3 docs total.
+    val base = (1L to 2000L).map(i =>
+      (i, "common crawl boilerplate page body repeated verbatim", "s1", "en"))
+    // 24 shared tokens + one flipped token = Hamming 1 (measured), safely
+    // under maxHamming 3 and band-coincident by pigeonhole
+    val near = "entirely unrelated standalone document text here with many " +
+      "stable tokens filling the vector alpha beta gamma delta epsilon " +
+      "zeta eta theta iota kappa"
+    val extra = Seq(
+      (3000L, near, "s1", "en"),
+      (3001L, near + " mu", "s1", "en"))
+    val out = Dedup.simhashClusters(docsDF(base ++ extra), maxHamming = 3, maxBucket = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 2000L).forall(out(_) == 1L))
+    assert(out(3000L) == 3000L) // near dup pair clusters to its min id
+    assert(out(3001L) == 3000L)
+  }
+
   test("cappedBucketPairs: small buckets all-pairs, overflow buckets star") {
     import spark.implicits._
     // bucket A: 3 members (under cap 3) -> 3 pairs; bucket B: 4 members
