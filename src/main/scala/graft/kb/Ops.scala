@@ -100,9 +100,26 @@ object Ops {
 
   /** Per-class instance counts + pairwise class-intersection counts —
     * Schema.getTypesCount / getTypesIntersectionCount
-    * (Schema.java:838-896). `types` = (entity, cls) facts. */
-  def classIntersections(types: DataFrame): DataFrame = {
-    val t = types.toDF("entity", "cls").distinct()
+    * (Schema.java:838-896). `types` = (entity, cls) facts.
+    *
+    * Cost is Σ (classes-per-entity)² — fine for taxonomies (tens of
+    * classes per entity), degenerate if one entity carries thousands.
+    * `maxClassesPerEntity > 0` bounds that hot-key quadratic by keeping
+    * only the lexicographically smallest N classes of each overflowing
+    * entity (deterministic, so two runs agree); the dropped entity-class
+    * rows no longer contribute pairs, which undercounts intersections
+    * involving an overflowing entity's later classes — an explicit
+    * recall-for-scale trade, off (exact) by default. */
+  def classIntersections(types: DataFrame, maxClassesPerEntity: Int = 0): DataFrame = {
+    val t0 = types.toDF("entity", "cls").distinct()
+    val t =
+      if (maxClassesPerEntity <= 0) t0
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("entity").orderBy("cls")
+        t0.withColumn("__rk", row_number().over(w))
+          .where(col("__rk") <= maxClassesPerEntity).drop("__rk")
+      }
     t.as("a").join(t.as("b"), col("a.entity") === col("b.entity"))
       .groupBy(col("a.cls").as("c1"), col("b.cls").as("c2"))
       .agg(count(lit(1)).as("n"))

@@ -87,6 +87,25 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(inv == Set("1")) // object "1" has subjects {a, b}
   }
 
+  test("classIntersections: cap off is exact; cap bounds a hot entity deterministically") {
+    import spark.implicits._
+    val types = (Seq(("e1", "A"), ("e1", "B"), ("e2", "A"), ("e2", "C")) ++
+      (1 to 50).map(i => ("hot", f"cls$i%03d"))).toDF("entity", "cls")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exact = m(Ops.classIntersections(types))
+    assert(exact(("A", "B")) == 1 && exact(("A", "A")) == 2 && exact(("A", "C")) == 1)
+    assert(exact.size == 7 + 50 * 50) // e1/e2 distinct class pairs + hot 50x50
+    // cap 0 (default) is the uncapped join; a cap above every entity's
+    // class count changes nothing
+    assert(m(Ops.classIntersections(types, maxClassesPerEntity = 60)) == exact)
+    // cap 10 keeps hot's lexicographically first 10 classes -> 10x10 block
+    val capped = m(Ops.classIntersections(types, maxClassesPerEntity = 10))
+    assert(capped.size == 7 + 10 * 10)
+    assert(capped(("cls001", "cls010")) == 1 && !capped.contains(("cls001", "cls011")))
+    assert(capped(("A", "B")) == 1) // non-overflowing entities unaffected
+  }
+
   test("TSV fact source round-trips both reference layouts") {
     import graft.sources.TsvFacts
     val dir = java.nio.file.Files.createTempDirectory("graft-tsv")
