@@ -530,6 +530,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(t(s, dir, "embeddings"), nQueries = 10, k = 5)),
     "sim_lsh_topk" -> ((s, dir) =>
       Similarity.lshTopK(t(s, dir, "embeddings"), bands = 2, planes = 8, k = 3)),
+    // IVF inverted-list ANN, the second scale path: deterministic coarse
+    // quantizer keeps the oracle exact (see Similarity.ivfTopK)
+    "sim_ivf_topk" -> ((s, dir) =>
+      Similarity.ivfTopK(t(s, dir, "embeddings"), nLists = 16, nProbe = 4,
+        nQueries = 10, k = 5)),
     "media_stats" -> ((s, dir) =>
       Multimodal.mediaStats(Multimodal.assetsFromDocs(t(s, dir, "documents")))),
     "media_decode" -> { (s, dir) =>
@@ -845,6 +850,29 @@ object SparkEntry {
          |           JOIN embeddings e2 ON e2.vec_id = neighbor_id),
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
          |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 3""".stripMargin,
+    // replicates the deterministic IVF exactly: smallest-id centroids,
+    // rank-1 cosine assignment (ties to smaller list id), nProbe probed
+    // lists per query, top-k over probed members
+    "sim_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS list_id, embedding AS ce
+         |  FROM embeddings ORDER BY vec_id LIMIT 16),
+         |rk AS (SELECT e.vec_id, c.list_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "c.ce")} DESC, c.list_id) AS crk
+         |  FROM embeddings e CROSS JOIN cents c),
+         |asg AS (SELECT vec_id, list_id FROM rk WHERE crk = 1),
+         |probes AS (SELECT vec_id AS query_id, list_id FROM rk
+         |  WHERE crk <= 4 AND vec_id < 10),
+         |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+         |  FROM probes p JOIN asg a USING (list_id)
+         |  WHERE a.vec_id <> p.query_id),
+         |p AS (SELECT query_id, neighbor_id,
+         |    ${cosSql("e1.embedding", "e2.embedding")} AS score
+         |  FROM cand JOIN embeddings e1 ON e1.vec_id = query_id
+         |            JOIN embeddings e2 ON e2.vec_id = neighbor_id),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM p)
+         |SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 5""".stripMargin,
     "media_stats" ->
       s"""WITH $assetsCte
          |SELECT kind, count(*) AS n, CAST(SUM(byte_len) AS BIGINT) AS total_bytes,

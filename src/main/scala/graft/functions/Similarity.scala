@@ -138,4 +138,56 @@ object Similarity {
       .where(col("cos") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cos"))
   }
+
+  /**
+   * IVF (inverted-file) ANN — the second scale path next to [[lshTopK]]:
+   * vectors are partitioned into `nLists` inverted lists keyed by their
+   * nearest coarse centroid, and a query scores ONLY the members of its
+   * `nProbe` nearest lists (candidates ∝ nProbe/nLists of the corpus,
+   * recall tuned by nProbe).
+   *
+   * The coarse quantizer is DETERMINISTIC: the `nLists` vectors with the
+   * smallest ids are the centroids. Production systems train k-means
+   * here; that changes list QUALITY, not the distributed shape — which is
+   * the operator: tiny broadcast centroid table → one dense scoring pass
+   * (a broadcast nested-loop by construction, n×nLists cosines — linear
+   * in n, NOT a candidate-generation quadratic) → hash-join from probed
+   * lists to list members → per-query top-k window. Skew envelope: a
+   * degenerate corpus can send most vectors to one list, making probes of
+   * that list expensive — production IVF re-trains or splits hot lists;
+   * the deterministic quantizer keeps the DuckDB oracle exact instead.
+   */
+  def ivfTopK(emb: DataFrame, nLists: Int, nProbe: Int, nQueries: Int,
+      k: Int): DataFrame = {
+    val cents = emb.orderBy("vec_id").limit(nLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
+    // (vector × centroid) cosine rank, ties to the smaller list id — used
+    // at rank 1 for assignment and at rank ≤ nProbe for query probing
+    def ranked(v: DataFrame) = v
+      .crossJoin(broadcast(cents))
+      .withColumn("ccos", cosineExpr("embedding", "ce"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("list_id"))))
+    val assigned = ranked(emb).where(col("crk") === 1)
+      .select(col("vec_id"), col("list_id"))
+      .localCheckpoint(true) // feeds both the probe join and the member join
+    val probes = ranked(emb.where(col("vec_id") < nQueries))
+      .where(col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    val cand = probes.join(assigned.select(col("vec_id").as("neighbor_id"),
+        col("list_id")), "list_id")
+      .where(col("query_id") =!= col("neighbor_id"))
+      // already unique: each neighbor lives in exactly ONE list (rank-1
+      // assignment) and probe lists are distinct per query — no dedup shuffle
+      .select("query_id", "neighbor_id")
+    val scored = cand
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne")), "neighbor_id")
+      .withColumn("score", cosineExpr("qe", "ne"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
 }

@@ -79,7 +79,9 @@ object ScaleProbe {
         timed("dedup_simhash_clusters", Dedup.simhashClusters(docs, maxHamming = 3)),
         timed("dedup_clusters",      Dedup.nearDupClusters(docs, minJaccard = 0.3)),
         timed("dedup_embedding",     Similarity.embeddingNearDups(emb, minCosine = 0.3)),
-        timed("sim_lsh_topk",        Similarity.lshTopK(emb, bands = 2, planes = 8, k = 3)))
+        timed("sim_lsh_topk",        Similarity.lshTopK(emb, bands = 2, planes = 8, k = 3)),
+        timed("sim_ivf_topk",        Similarity.ivfTopK(emb, nLists = 128,
+          nProbe = 8, nQueries = 10, k = 5)))
 
       println(s"""{"probe":"pair_ops_scale","k":$k,"docs":$nDocs,"vectors":$nEmb,"cores":$cores,${results.mkString(",")}}""")
     } finally spark.stop()

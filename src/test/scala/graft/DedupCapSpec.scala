@@ -138,6 +138,28 @@ class DedupCapSpec extends AnyFunSuite {
     assert(out(3001L) == 3000L)
   }
 
+  test("ivfTopK with nProbe == nLists equals brute-force top-k") {
+    import spark.implicits._
+    // probing every list makes the candidate set = all vectors except self,
+    // so IVF must reproduce the exact baseline ranking
+    val emb = (0 until 30)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 3f), "l"))
+      .toDF("vec_id", "embedding", "label")
+    val ivf = Similarity.ivfTopK(emb, nLists = 6, nProbe = 6, nQueries = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val bf = Similarity.bruteForceTopK(emb, nQueries = 5, k = 4)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivf == bf)
+    // narrower probe returns a SUBSET ranking: each returned neighbor is
+    // still ranked consistently (rank 1..k, no gaps per query)
+    val narrow = Similarity.ivfTopK(emb, nLists = 6, nProbe = 2, nQueries = 5, k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    narrow.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to rs.size).toSeq)
+    }
+  }
+
   test("cappedBucketPairs: small buckets all-pairs, overflow buckets star") {
     import spark.implicits._
     // bucket A: 3 members (under cap 3) -> 3 pairs; bucket B: 4 members
