@@ -88,6 +88,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK: candidate join is hash-keyed; only the dense assignment broadcasts") {
+    import spark.implicits._
+    val emb = (0 until 40)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 5 + d) % 9 - 4).toFloat), "l1"))
+      .toDF("vec_id", "embedding", "label")
+    val df = graft.functions.Similarity.ivfTopK(emb, nLists = 8, nProbe = 2,
+      nQueries = 4, k = 3)
+    val p = plan(df)
+    // the n×nLists scoring pass is an INTENTIONAL broadcast nested loop
+    // (tiny broadcast side, every pair needed — linear in n); the probed
+    // list → member join and the embedding re-joins must be hash/sort
+    // equi-joins, never a cartesian
+    assert(!p.contains("CartesianProduct"), s"cartesian in IVF plan:\n$p")
+    assert(p.contains("list_id"), s"probe join lost its list key:\n$p")
+  }
+
+  test("simhashClusters: no cartesian, band-keyed candidates") {
+    import spark.implicits._
+    val docs = (1 to 40)
+      .map(i => (i.toLong, s"alpha beta gamma delta tok$i epsilon zeta", "s1", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val df = graft.functions.Dedup.simhashClusters(docs, maxHamming = 3)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"cartesian in clusters plan:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"nested-loop in clusters plan:\n$p")
+  }
+
   test("fused rule scoring is one plan: body scanned once, markers broadcastable") {
     val t = pipeline.triples()
     val m = new graft.mine.Metrics(t, KGStats.compute(t))
