@@ -85,10 +85,22 @@ object Bench {
     * 1.6-2.3× their recorded floors on unchanged code) defeats the
     * outlier-round defense — these fields make it visible instead.
     * Clean-window references live in BASELINE.md §calibration. */
-  private def roundProbeFields(): String = {
+  private def roundProbeFields(): (String, Boolean) = {
     val alu = probeAlu(); val mem = probeMem()
-    f""""probe_alu_sec":$alu%.3f,"probe_mem_sec":$mem%.3f,"""
+    (f""""probe_alu_sec":$alu%.3f,"probe_mem_sec":$mem%.3f,""",
+      alu > ProbeAluDegraded || mem > ProbeMemDegraded)
   }
+
+  /** Probe thresholds marking a round's window as degraded: ~1.4× the
+    * top of the clean-window reference band accumulated across official
+    * runs (ALU 2.0-2.4 s, mem 0.8-1.1 s on this host; BASELINE.md
+    * §calibration — an observed steal-heavy window read ALU 4.17 s).
+    * Used only to APPEND one extra measurement round, never to rescale
+    * or drop measured numbers. */
+  private val ProbeAluDegraded =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_ALU_DEGRADED", "3.3").toDouble
+  private val ProbeMemDegraded =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM_DEGRADED", "1.55").toDouble
 
   /**
    * Run one parallelism level in its own JVM pinned to exactly `cores`
@@ -184,10 +196,13 @@ object Bench {
       * Contamination defense: a round whose BOTH level times exceed 1.4×
       * the per-level minimum across rounds was measured in a degraded
       * ambient window (round 3's official artifact had one at 0.635 while
-      * adjacent rounds read 0.89); one extra round is appended so the
-      * median is taken over mostly-clean rounds. All rounds stay in the
-      * JSON — nothing is hidden, the estimator is just given one more
-      * clean sample. */
+      * adjacent rounds read 0.89), and a round whose OWN calibration
+      * probe exceeds the degraded thresholds was measured under heavy
+      * CPU steal even if every round looks equally bad (the relative
+      * rule is blind to uniform degradation); either way one extra round
+      * is appended so the median is taken over mostly-clean rounds. All
+      * rounds stay in the JSON — nothing is hidden, the estimator is
+      * just given one more clean sample. */
     def measurePair(label: String, nCores: Int): String = {
       def oneRound() =
         (roundProbeFields(),
@@ -197,8 +212,8 @@ object Bench {
       val degraded = {
         val minN  = pairs.map(_._2._2).min
         val min4N = pairs.map(_._3._2).min
-        pairs.count { case (_, (_, sn), (_, s4n)) =>
-          sn > 1.4 * minN && s4n > 1.4 * min4N }
+        pairs.count { case ((_, probeBad), (_, sn), (_, s4n)) =>
+          probeBad || (sn > 1.4 * minN && s4n > 1.4 * min4N) }
       }
       val remeasured = reps > 1 && degraded > 0
       if (remeasured) pairs = pairs :+ oneRound()
@@ -212,7 +227,7 @@ object Bench {
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
       val effFloor = (tps4N / tpsN) / 4.0
-      val roundsJson = pairs.zip(roundEffs).map { case ((probe, (_, sn), (_, s4n)), e) =>
+      val roundsJson = pairs.zip(roundEffs).map { case (((probe, _), (_, sn), (_, s4n)), e) =>
         f"""{$probe"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"docs":$docs,"triples":$t4,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
@@ -255,7 +270,7 @@ object Bench {
       // ratio fair) so `procs` concurrent JVMs can't swap the host.
       val procMem = Some(sys.env.getOrElse("SPARK_GRAFT_PROC_MEM", "4g"))
       val shard = docs / procs
-      def oneRound(): (String, Double, Seq[Double], Double) = {
+      def oneRound(): ((String, Boolean), Double, Seq[Double], Double) = {
         val probe = roundProbeFields()
         val (_, solo) = pipelineRun(coresEach, shard, vocab, innerRepsN,
           memOverride = procMem)
@@ -282,16 +297,18 @@ object Bench {
       // Contamination defense (same idea as measurePair): the solo rep is
       // the round's ambient thermometer — identical work every round. A
       // round whose solo deviates >1.5× from the cross-round solo minimum
-      // was measured in a degraded window; append one clean-window
+      // was measured in a degraded window, as was one whose own probe
+      // exceeds the degraded thresholds (catches uniformly-degraded
+      // windows the relative rule can't see); append one clean-window
       // candidate round so the median is taken over mostly-clean rounds.
       // All rounds stay in the JSON.
       val degraded = {
         val soloMin = roundRows.map(_._2).min
-        roundRows.count(_._2 > 1.5 * soloMin)
+        roundRows.count(r => r._1._2 || r._2 > 1.5 * soloMin)
       }
       if (rounds > 1 && degraded > 0) roundRows = roundRows :+ oneRound()
       val effMedian = roundRows.map(_._4).sorted.apply((roundRows.size - 1) / 2)
-      val rjs = roundRows.map { case (probe, s0, cs, e) =>
+      val rjs = roundRows.map { case ((probe, _), s0, cs, e) =>
         val csJson = cs.map(c => f"$c%.3f").mkString("[", ",", "]")
         f"""{$probe"sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")

@@ -1,0 +1,115 @@
+package graft.tools
+
+import graft.{Sessions, SparkEntry}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Empirical scale probe for the KB / query-compiler / mining family —
+ * the companion of [[ScaleProbe]] (which covers the pair-producing
+ * dedup/similarity ops). The sandbox ships test data up to sf0.1, so
+ * the probe synthesizes a K×-scale KB by deterministic K-fold
+ * replication of the fact-bearing tables (customer, supplier, orders,
+ * events) with collision-free key remapping that PRESERVES join
+ * structure: an order replica points at the matching customer replica,
+ * an event replica at the matching user replica. Dimension tables
+ * (nation, region) stay fixed — so per-relation fan-in to the 25/5 hub
+ * entities grows K×, exactly the head-entity skew growth a web-scale
+ * KG exhibits (BASELINE.json north_star calls this out explicitly).
+ *
+ * Every timed operator is the PRODUCTION [[SparkEntry.queries]] entry,
+ * run unchanged against the blown-up directory — including parquet
+ * scan, pushdown and the per-session triples-view persist. Timings are
+ * PAIRED: each query runs at K=1 and at K in the same session minutes
+ * apart, so the reported ratio is ambient-resistant the same way the
+ * bench's paired estimators are (BASELINE.md round-2 methodology).
+ * A query whose K=10 time is ≲ 10× its K=1 time scales linearly-or-
+ * better; super-linear ratios flag a quadratic.
+ *
+ * Run:  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+ *       sbt "runMain graft.tools.KBScaleProbe [K] [cores]"
+ * Emits one JSON line; results recorded in BASELINE.md (§scale-probe).
+ */
+object KBScaleProbe {
+
+  /** The KB-family queries worth probing at scale, in sweep order:
+    * dictionary/encode (3-way join), full-scan stats, the Σ relation²
+    * overlap tables, conjunctive joins, iterative closure, the bounded
+    * class-intersection quadratic, windowed histograms, delta
+    * maintenance, rule scoring and the full depth-2 mining run. */
+  val ProbedQueries: Seq[String] = Seq(
+    "kb_dictionary", "kb_encoded", "kb_stats",
+    "kb_overlaps", "kb_overlaps_so",
+    "kb_join_two_atoms", "kb_taxonomy_closure",
+    "kb_type_intersections", "kb_typing_overlap",
+    "kb_cardinality_hist", "kb_delta",
+    "kb_card_inline", "kb_rule_metrics", "kb_mined_rules_d2")
+
+  /** K-fold replicate `df`, remapping each column in `keys` as
+    * key*K + rep. Replica 0 = the original row (keys scaled but
+    * relative structure identical), so K=1 is a pure identity remap. */
+  private def blowUp(df: DataFrame, k: Int, keys: Seq[String]): DataFrame = {
+    val exploded = df.withColumn("__rep", explode(sequence(lit(0), lit(k - 1))))
+    keys.foldLeft(exploded) { (d, c) =>
+      d.withColumn(c, (col(c).cast("long") * k + col("__rep")).cast(df.schema(c).dataType))
+    }.drop("__rep")
+  }
+
+  /** Tables referenced by the probed queries and their replication keys;
+    * nation/region are dimension hubs and are copied unscaled. */
+  private val FactTables = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "orders"   -> Seq("o_orderkey", "o_custkey"),
+    "events"   -> Seq("event_id", "user_id"))
+  private val DimTables = Seq("nation", "region")
+
+  private def materializeScaled(spark: SparkSession, src: String,
+      k: Int, out: String): Unit = {
+    for ((name, keys) <- FactTables)
+      blowUp(spark.read.parquet(s"$src/$name.parquet"), k, keys)
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+    for (name <- DimTables)
+      spark.read.parquet(s"$src/$name.parquet")
+        .write.mode("overwrite").parquet(s"$out/$name.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val k     = args.headOption.map(_.toInt).getOrElse(10)
+    val cores = args.drop(1).headOption.map(_.toInt).getOrElse(
+      Runtime.getRuntime.availableProcessors())
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Sessions.tune(SparkSession.builder(), cores, "graft-kb-scale-probe")
+      .master(s"local[$cores]").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val base  = s"/tmp/graft_kbscale/k1"
+      val big   = s"/tmp/graft_kbscale/k$k"
+      materializeScaled(spark, sfDir, 1, base)
+      materializeScaled(spark, sfDir, k, big)
+
+      def timeQuery(name: String, dir: String): (Double, Long) = {
+        val t0   = System.nanoTime()
+        val rows = SparkEntry.queries(name)(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      }
+
+      // Warm the shared code paths once (JIT/codegen first-touch lands on
+      // whichever query runs first otherwise — bench sweep methodology)
+      // AND both dirs' persisted triples views, so no single timed query
+      // absorbs the one-time view materialization of its dir.
+      timeQuery("kb_stats", base)
+      timeQuery("kb_stats", big)
+
+      val results = ProbedQueries.map { name =>
+        val (sec1, rows1) = timeQuery(name, base)
+        val (secK, rowsK) = timeQuery(name, big)
+        val ratio = secK / math.max(sec1, 1e-9)
+        System.err.println(
+          f"[kbprobe] $name%-24s k1 $sec1%7.2f s ($rows1%d rows)  k$k $secK%7.2f s ($rowsK%d rows)  ratio ${ratio}%5.1f×")
+        f""""$name":{"sec_k1":$sec1%.2f,"rows_k1":$rows1,"sec_k":$secK%.2f,"rows_k":$rowsK,"ratio":$ratio%.2f}"""
+      }
+      println(s"""{"probe":"kb_ops_scale","k":$k,"cores":$cores,${results.mkString(",")}}""")
+    } finally spark.stop()
+  }
+}
