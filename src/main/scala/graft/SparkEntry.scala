@@ -41,6 +41,19 @@ object SparkEntry {
   private val triplesCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Memoized KG statistics of [[tpchTriples]] per (session, dir): one
+    * stats job feeds the join-order + broadcast/fan-out hints of every
+    * stats-aware query in the sweep (the same statistics-before-queries
+    * posture the miner takes). */
+  def tpchStats(spark: SparkSession, dir: String): KGStats = {
+    statsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    statsCache.computeIfAbsent((spark, dir),
+      _ => KGStats.compute(tpchTriples(spark, dir)))
+  }
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), KGStats]()
+
   private def tpchTriplesUncached(spark: SparkSession, dir: String): DataFrame = {
     val cust = t(spark, dir, "customer")
     val supp = t(spark, dir, "supplier")
@@ -164,10 +177,13 @@ object SparkEntry {
 
     // ---- §2.3 conjunctive join: customers with a supplier in the same nation
     "kb_join_two_atoms" -> { (s, dir) =>
+      // stats-aware: the 25-nation hub join broadcasts the supplier atom
+      // and repartitions the fan-out stream side (see QueryBuilder hints)
       QueryBuilder.selectDistinct(
         tpchTriples(s, dir), Seq(Var("c"), Var("sp")),
         Seq(Atom(Var("c"), Const("custNation"), Var("n")),
-          Atom(Var("sp"), Const("suppNation"), Var("n"))))
+          Atom(Var("sp"), Const("suppNation"), Var("n"))),
+        Some(tpchStats(s, dir)))
         .select(col("c").as("cust"), col("sp").as("supp"))
     },
 
@@ -297,7 +313,8 @@ object SparkEntry {
         tpchTriples(s, dir), Seq(Var("s1"), Var("s2")),
         Seq(Atom(Var("s1"), Const("suppNation"), Var("n")),
           Atom(Var("s2"), Const("suppNation"), Var("n")),
-          Atom(Var("s1"), Const(Atom.DifferentFrom), Var("s2"))))
+          Atom(Var("s1"), Const(Atom.DifferentFrom), Var("s2"))),
+        Some(tpchStats(s, dir)))
         .select(col("s1"), col("s2"))
     },
 

@@ -49,9 +49,10 @@ object QueryBuilder {
     require(positive.nonEmpty || meta.nonEmpty,
       "query needs at least one non-filter atom")
 
-    val ordered = stats match {
-      case Some(st) => cardinalityOrder(positive, st)
-      case None     => connectivityOrder(positive)
+    val estimator = stats.map(new Estimator(_))
+    val ordered = estimator match {
+      case Some(e) => cardinalityOrder(positive, e)
+      case None    => connectivityOrder(positive)
     }
     // meta-relation atoms (KB.java:928-1063 placement freedom) lower to
     // derived binding tables joined AFTER the positive conjunction —
@@ -60,16 +61,86 @@ object QueryBuilder {
     // semi-join the reference's instantiation loop performs
     val metaDFs = meta.map(metaDF(triples, _))
     val start   = ordered.headOption.map(atomDF(triples, _)).getOrElse(metaDFs.head)
-    val tails   = ordered.drop(1).map(atomDF(triples, _)) ++
-      (if (ordered.isEmpty) metaDFs.drop(1) else metaDFs)
+    val tails: Seq[(DataFrame, Option[Atom])] =
+      ordered.drop(1).map(a => (atomDF(triples, a), Option(a))) ++
+        (if (ordered.isEmpty) metaDFs.drop(1) else metaDFs).map((_, None))
     var df = start
-    for (right <- tails) {
+    // Running output-cardinality estimate and bound-variable set, for the
+    // stats path's physical hints (plan shape only — never the result):
+    //  - a side whose estimate fits a broadcast gets an explicit
+    //    broadcast() hint. Catalyst's own size estimation cannot see
+    //    through a filtered cached union (basic stats don't shrink under
+    //    a string-equality filter), so hub joins otherwise fall to
+    //    sort-merge on a low-cardinality key — at web scale that caps
+    //    parallelism at #distinct-keys AND loses the skew-free plan.
+    //  - a high-fan-out join (output ≫ both inputs, e.g. two fact atoms
+    //    meeting on a 25-value hub variable) gets the SMALL stream side
+    //    repartitioned first: post-broadcast-join parallelism equals the
+    //    stream side's partition count, and a small input (one parquet
+    //    split!) would otherwise drag the whole downstream pipeline —
+    //    join, partial distinct — into a single task. Measured at K=10
+    //    probe scale: 60M-pair hub join 920 s single-task vs seconds
+    //    repartitioned. Never fires on large stream sides (the shuffle
+    //    would not be narrow-cheap), which at 100 TB already carry
+    //    thousands of splits.
+    var est: Double = (estimator, ordered.headOption) match {
+      case (Some(e), Some(a)) => e.baseEst(a)
+      case _                  => -1.0
+    }
+    val bound = scala.collection.mutable.Set[String](
+      ordered.headOption.toSeq.flatMap(_.vars.map(_.name)): _*)
+    for ((right, atomOpt) <- tails) {
       val shared = df.columns.intersect(right.columns).toSeq
-      df = if (shared.isEmpty) df.crossJoin(right) else df.join(right, shared)
+      (estimator, atomOpt) match {
+        case (Some(e), Some(a)) if est >= 0 && shared.nonEmpty =>
+          val rightEst = e.baseEst(a)
+          val joint    = e.joinedEst(est, a, bound)
+          if (est <= FanoutStreamMaxRows && rightEst <= BroadcastMaxRows &&
+              joint >= FanoutFactor * math.max(est, rightEst))
+            df = df.repartition(shufflePartitions(triples))
+          val (l, r) =
+            if (rightEst <= BroadcastMaxRows && rightEst <= est)
+              (df, broadcast(right))
+            else if (est <= BroadcastMaxRows && est < rightEst)
+              (broadcast(df), right)
+            else (df, right)
+          df  = l.join(r, shared)
+          est = joint
+        case _ =>
+          // meta-relation tables and the no-stats path: no estimates.
+          // Meta tables are selective distinct projections — est can only
+          // shrink, so keeping the running estimate is conservative.
+          df = if (shared.isEmpty) df.crossJoin(right) else df.join(right, shared)
+      }
+      atomOpt.foreach(_.vars.foreach(v => bound += v.name))
     }
     if (df.columns.contains(MetaGateCol)) df = df.drop(MetaGateCol)
     pseudo.foldLeft(df)((d, a) => d.filter(pseudoFilter(d, a)))
   }
+
+  /** Broadcast-hint ceiling, in estimated rows (~10-20 MB of triple-ish
+    * strings — the standard broadcast envelope). Env-tunable for clusters
+    * with bigger driver/executor headroom. */
+  private[graft] val BroadcastMaxRows: Double =
+    scala.util.Try(sys.env("GRAFT_BROADCAST_MAX_ROWS").toDouble)
+      .filter(_ > 0).getOrElse(250000.0)
+
+  /** A join is "high fan-out" when its estimated output is ≥ this factor
+    * above both inputs; the stream side then gets repartitioned (iff
+    * small — see [[FanoutStreamMaxRows]]). */
+  private val FanoutFactor = 8.0
+
+  /** Only repartition a high-fan-out stream side estimated at or below
+    * this many rows: the narrow shuffle is then negligible, and small
+    * inputs are exactly the ones with too few splits to parallelize the
+    * fan-out. A large stream side already has the splits. */
+  private val FanoutStreamMaxRows = 1e7
+
+  private def shufflePartitions(df: DataFrame): Int =
+    scala.util.Try(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt)
+      .filter(_ > 0)
+      .getOrElse(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Marker column of a fully-ground meta atom (no variables): a 0/1-row
     * existence gate cross-joined into the query. */
@@ -168,13 +239,21 @@ object QueryBuilder {
 
   /** Distinct bindings of `vs` — reference selectDistinct (KB.java:1876-2366). */
   def selectDistinct(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom]): DataFrame =
-    bindings(triples, atoms).select(vs.map(v => col(v.name)): _*).distinct()
+    selectDistinct(triples, vs, atoms, None)
+
+  /** As [[selectDistinct]] with KG statistics driving the join order and
+    * the physical hints (broadcast / fan-out repartition) of [[bindings]].
+    * Same result set, better plan. */
+  def selectDistinct(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom],
+      stats: Option[KGStats]): DataFrame =
+    bindings(triples, atoms, stats).select(vs.map(v => col(v.name)): _*).distinct()
 
   /** #distinct bindings of `vs` — reference countDistinct / countDistinctPairs
     * (KB.java:1860-1862,3064-3105). Exact, per BASELINE.md (no approx). */
-  def countDistinctBindings(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom]): Long = {
+  def countDistinctBindings(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom],
+      stats: Option[KGStats] = None): Long = {
     val df = bindings(triples,
-      dropRedundantDupAtoms(atoms, vs.map(_.name).toSet))
+      dropRedundantDupAtoms(atoms, vs.map(_.name).toSet), stats)
     val c  = if (vs.size == 1) countDistinct(col(vs.head.name))
              else countDistinct(struct(vs.map(v => col(v.name)): _*))
     df.agg(c.as("n")).collect()(0).getLong(0)
@@ -256,13 +335,20 @@ object QueryBuilder {
    * through the weakly-selective body join before the template join
    * shrinks it again.
    */
-  private[graft] def cardinalityOrder(atoms: Seq[Atom], st: KGStats): Seq[Atom] = {
-    if (atoms.size <= 2) return connectivityOrder(atoms)
-    val totalSize = math.max(1L, st.totalFacts).toDouble
-    val totalDs   = math.max(1L, st.relations.values.map(_.distinctSubj).sum).toDouble
-    val totalDo   = math.max(1L, st.relations.values.map(_.distinctObj).sum).toDouble
-    // (size, distinctSubj, distinctObj) with constants folded in
-    def relStats(a: Atom): (Double, Double, Double) = a.p match {
+  private[graft] def cardinalityOrder(atoms: Seq[Atom], st: KGStats): Seq[Atom] =
+    cardinalityOrder(atoms, new Estimator(st))
+
+  /** Shared cardinality estimation over KG statistics, used both for the
+    * greedy atom ordering and for the physical join hints in [[bindings]]
+    * (estimates only ever shape the plan, never the result). */
+  private[graft] final class Estimator(st: KGStats) {
+    private val totalSize = math.max(1L, st.totalFacts).toDouble
+    private val totalDs   = math.max(1L, st.relations.values.map(_.distinctSubj).sum).toDouble
+    private val totalDo   = math.max(1L, st.relations.values.map(_.distinctObj).sum).toDouble
+
+    // (size, distinctSubj, distinctObj) with constants folded in; a
+    // relation absent from the stats has zero facts → (1,1,1)
+    private def relStats(a: Atom): (Double, Double, Double) = a.p match {
       case Const(p) => st.relations.get(p) match {
         case Some(r) => (math.max(1.0, r.size.toDouble),
           math.max(1.0, r.distinctSubj.toDouble), math.max(1.0, r.distinctObj.toDouble))
@@ -270,6 +356,7 @@ object QueryBuilder {
       }
       case _ => (totalSize, totalDs, totalDo)
     }
+
     def baseEst(a: Atom): Double = {
       val (s, ds, dob) = relStats(a)
       var e = s
@@ -277,6 +364,23 @@ object QueryBuilder {
       if (a.o.isInstanceOf[Const]) e /= dob
       math.max(e, 1.0)
     }
+
+    /** Estimated output of joining a running intermediate of `est` rows
+      * with atom `a`, given the already-bound variable names: selectivity
+      * per bound position is 1/distinct-values-at-that-position
+      * (independence assumed). */
+    def joinedEst(est: Double, a: Atom, bound: collection.Set[String]): Double = {
+      val (_, ds, dob) = relStats(a)
+      var e = est * baseEst(a)
+      a.s match { case v: Var if bound(v.name) => e /= ds;  case _ => }
+      a.o match { case v: Var if bound(v.name) => e /= dob; case _ => }
+      math.max(e, 1.0)
+    }
+  }
+
+  private[graft] def cardinalityOrder(atoms: Seq[Atom], e: Estimator): Seq[Atom] = {
+    if (atoms.size <= 2) return connectivityOrder(atoms)
+    import e.{baseEst, joinedEst => jEst}
     val pending = scala.collection.mutable.ArrayBuffer(atoms: _*)
     val out     = scala.collection.mutable.ArrayBuffer[Atom]()
     val bound   = scala.collection.mutable.Set[String]()
@@ -288,15 +392,8 @@ object QueryBuilder {
     while (pending.nonEmpty) {
       val connected = pending.filter(_.vars.exists(v => bound(v.name)))
       val pool      = if (connected.nonEmpty) connected.toSeq else pending.toSeq
-      def joinedEst(a: Atom): Double = {
-        val (_, ds, dob) = relStats(a)
-        var e = est * baseEst(a)
-        a.s match { case v: Var if bound(v.name) => e /= ds;  case _ => }
-        a.o match { case v: Var if bound(v.name) => e /= dob; case _ => }
-        math.max(e, 1.0)
-      }
-      val pick = pool.minBy(joinedEst)
-      est = joinedEst(pick)
+      val pick      = pool.minBy(a => jEst(est, a, bound))
+      est = jEst(est, pick, bound)
       take(pick)
     }
     out.toSeq

@@ -51,7 +51,8 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // type-I dup-relation canonicalization (rewriteProjectionQuery,
     // DMA:538-586): projection-neutral, one join fewer
     val df = QueryBuilder.bindings(triples,
-      QueryBuilder.dropRedundantDupAtoms(atoms, vs.map(_.name).toSet))
+      QueryBuilder.dropRedundantDupAtoms(atoms, vs.map(_.name).toSet),
+      Some(stats))
     val c =
       if (vs.size == 1) countDistinct(col(vs.head.name))
       else countDistinct(struct(vs.map(v => col(v.name)): _*))
@@ -63,7 +64,7 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
   private def headSize(r: Rule): Long = r.head match {
     case Atom(_: Var, Const(p), _: Var) => stats.size(p)
     case _ =>
-      QueryBuilder.countDistinctBindings(triples, r.headVars, Seq(r.head))
+      QueryBuilder.countDistinctBindings(triples, r.headVars, Seq(r.head), Some(stats))
   }
 
   /** True when [[headSize]] needs a Spark job (constant-carrying head). */
@@ -118,15 +119,23 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // (rewriteProjectionQuery parity, DMA:538-586)
     val base  = QueryBuilder.bindings(triples,
       QueryBuilder.dropRedundantDupAtoms(r.body,
-        (hv.map(_.name) ++ headKeys ++ pcaKeys).toSet))
+        (hv.map(_.name) ++ headKeys ++ pcaKeys).toSet),
+      Some(stats))
     // support-only count constraints (seeds-count bias) ride in the head
     // marker: they only touch head variables, so the marker's distinct
     // key set is exactly the constrained support key set
-    val headD = QueryBuilder.bindings(triples, r.head +: cc)
+    val headD = QueryBuilder.bindings(triples, r.head +: cc, Some(stats))
       .select(headKeys.map(col): _*).distinct().withColumn("__h", lit(1))
-    val pcaD  = QueryBuilder.bindings(triples, Seq(pcaHead))
+    val pcaD  = QueryBuilder.bindings(triples, Seq(pcaHead), Some(stats))
       .select(pcaKeys.map(col): _*).distinct().withColumn("__p", lit(1))
-    val joined = base.join(headD, headKeys, "left").join(pcaD, pcaKeys, "left")
+    // the marker tables are bounded by the head relation's size — when
+    // that fits the broadcast envelope, hint it: the two left joins then
+    // run build-right without shuffling the (much larger) body bindings
+    val estr      = new QueryBuilder.Estimator(stats)
+    val headSmall = estr.baseEst(r.head) <= QueryBuilder.BroadcastMaxRows
+    val (hD, pD)  = if (headSmall) (broadcast(headD), broadcast(pcaD))
+                    else (headD, pcaD)
+    val joined = base.join(hD, headKeys, "left").join(pD, pcaKeys, "left")
     val key = if (hv.size == 1) col(hv.head.name)
               else struct(hv.map(v => col(v.name)): _*)
     Some(joined

@@ -182,7 +182,7 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     }
     val parts = tasks.zipWithIndex.map { case ((n, fv, nv), i) =>
       val cc = bias.countConstraints(metrics, n.rule)
-      QueryBuilder.bindings(kb, n.rule.head :: cc)
+      QueryBuilder.bindings(kb, n.rule.head :: cc, Some(stats))
         .groupBy(col(nv.name)).agg(countDistinct(col(fv.name)).as("supp"))
         .select(lit(i).as("id"), col(nv.name).as("c"), col("supp"))
     }

@@ -40,10 +40,15 @@ object KBScaleProbe {
   val ProbedQueries: Seq[String] = Seq(
     "kb_dictionary", "kb_encoded", "kb_stats",
     "kb_overlaps", "kb_overlaps_so",
-    "kb_join_two_atoms", "kb_taxonomy_closure",
+    "kb_taxonomy_closure",
     "kb_type_intersections", "kb_typing_overlap",
     "kb_cardinality_hist", "kb_delta",
-    "kb_card_inline", "kb_rule_metrics", "kb_mined_rules_d2")
+    "kb_card_inline", "kb_rule_metrics", "kb_mined_rules_d2",
+    // last: its OUTPUT is quadratic by construction (both join sides
+    // replicate K× against the fixed 25-nation hub → K² distinct pairs),
+    // so it is the longest job and the one most likely to straddle an
+    // ambient freeze — a failure here must not cost the rest of the sweep
+    "kb_join_two_atoms")
 
   /** K-fold replicate `df`, remapping each column in `keys` as
     * key*K + rep. Replica 0 = the original row (keys scaled but
@@ -66,8 +71,17 @@ object KBScaleProbe {
 
   private def materializeScaled(spark: SparkSession, src: String,
       k: Int, out: String): Unit = {
+    // Write fact tables as multi-file parquet: the sf0.1 sources are
+    // single files, and explode() preserves partitioning, so without the
+    // repartition a K× table would still be ONE split — and every scan →
+    // join → partial-agg pipeline over it would run as one task, which is
+    // a layout artifact no real large table exhibits (a 100-TB table is
+    // thousands of splits). First probe run measured a 60M-row hub join
+    // at 920 s single-task because of exactly this.
+    val parts = spark.sparkContext.defaultParallelism
     for ((name, keys) <- FactTables)
       blowUp(spark.read.parquet(s"$src/$name.parquet"), k, keys)
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     for (name <- DimTables)
       spark.read.parquet(s"$src/$name.parquet")
@@ -80,7 +94,14 @@ object KBScaleProbe {
       Runtime.getRuntime.availableProcessors())
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.tune(SparkSession.builder(), cores, "graft-kb-scale-probe")
-      .master(s"local[$cores]").getOrCreate()
+      .master(s"local[$cores]")
+      // this sandbox's ambient host freezes have been observed to stall the
+      // whole JVM for 200-300 s mid-job (BASELINE.md §calibration); default
+      // heartbeat policy then removes the local "executor" and kills the
+      // context. The probe is a measurement tool — ride the freeze out.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "900s")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
       val base  = s"/tmp/graft_kbscale/k1"
@@ -102,12 +123,20 @@ object KBScaleProbe {
       timeQuery("kb_stats", big)
 
       val results = ProbedQueries.map { name =>
-        val (sec1, rows1) = timeQuery(name, base)
-        val (secK, rowsK) = timeQuery(name, big)
-        val ratio = secK / math.max(sec1, 1e-9)
-        System.err.println(
-          f"[kbprobe] $name%-24s k1 $sec1%7.2f s ($rows1%d rows)  k$k $secK%7.2f s ($rowsK%d rows)  ratio ${ratio}%5.1f×")
-        f""""$name":{"sec_k1":$sec1%.2f,"rows_k1":$rows1,"sec_k":$secK%.2f,"rows_k":$rowsK,"ratio":$ratio%.2f}"""
+        // one query's failure (e.g. an ambient freeze outlasting even the
+        // raised timeouts) must not cost the rest of the sweep
+        try {
+          val (sec1, rows1) = timeQuery(name, base)
+          val (secK, rowsK) = timeQuery(name, big)
+          val ratio = secK / math.max(sec1, 1e-9)
+          System.err.println(
+            f"[kbprobe] $name%-24s k1 $sec1%7.2f s ($rows1%d rows)  k$k $secK%7.2f s ($rowsK%d rows)  ratio ${ratio}%5.1f×")
+          f""""$name":{"sec_k1":$sec1%.2f,"rows_k1":$rows1,"sec_k":$secK%.2f,"rows_k":$rowsK,"ratio":$ratio%.2f}"""
+        } catch {
+          case e: Exception if !spark.sparkContext.isStopped =>
+            System.err.println(s"[kbprobe] $name FAILED: ${e.getMessage.take(120)}")
+            s""""$name":{"err":"${e.getClass.getSimpleName}"}"""
+        }
       }
       println(s"""{"probe":"kb_ops_scale","k":$k,"cores":$cores,${results.mkString(",")}}""")
     } finally spark.stop()

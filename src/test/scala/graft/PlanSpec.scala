@@ -156,6 +156,35 @@ class PlanSpec extends AnyFunSuite {
     assert(pNd.contains("band") && pNd.contains("bucket"), s"no banded key:\n$pNd")
   }
 
+  test("stats hints: hub join broadcasts the small atom and repartitions the fan-out stream") {
+    import spark.implicits._
+    // 1000 member facts + 100 flag facts meeting on a 10-value hub: the
+    // estimated join output (1000×100/10 = 10k) exceeds both inputs 10×,
+    // and the flag atom fits the broadcast envelope
+    val t = ((1 to 1000).map(i => (s"e$i", "memberOf", s"h${i % 10}")) ++
+      (1 to 100).map(i => (s"f$i", "flagOf", s"h${i % 10}")))
+      .toDF("subj", "pred", "obj").cache()
+    val st = KGStats.compute(t)
+    val atoms = Seq(
+      Atom(Var("x"), Const("memberOf"), Var("h")),
+      Atom(Var("y"), Const("flagOf"), Var("h")))
+    val hinted = QueryBuilder.bindings(t, atoms, Some(st))
+    val p      = plan(hinted)
+    // broadcast hint: must not fall to a sort-merge join on the
+    // low-cardinality hub key (parallelism ≤ #hubs + skew at scale)
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast despite stats hint:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"hub join fell to sort-merge:\n$p")
+    // fan-out guard: the small stream side must carry an explicit
+    // repartition so downstream parallelism never collapses to its
+    // (possibly single-split) input layout
+    assert(p.contains("RoundRobinPartitioning"), s"no fan-out repartition:\n$p")
+    // the hints are plan-only: result set identical to the unhinted plan
+    val unhinted = QueryBuilder.bindings(t, atoms, None)
+    assert(hinted.select("x", "y", "h").distinct().count() ==
+      unhinted.select("x", "y", "h").distinct().count())
+    t.unpersist(blocking = false)
+  }
+
   test("KB delta compiles to an anti-join plus union, no full-table rewrite shuffle") {
     val t    = pipeline.triples()
     val dels = t.where(col("pred") === "worksAt")
