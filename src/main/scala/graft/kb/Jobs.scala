@@ -61,9 +61,16 @@ private[graft] object Jobs {
       })
     try {
       import scala.jdk.CollectionConverters._
+      val timing = sys.env.contains("GRAFT_MINE_TIMING")
       val tasks = chunks.map { case (pi, c) =>
         new java.util.concurrent.Callable[(Int, Seq[Row])] {
-          def call(): (Int, Seq[Row]) = (pi, c.reduce(_ union _).collect().toSeq)
+          def call(): (Int, Seq[Row]) = {
+            val t0   = System.nanoTime()
+            val rows = c.reduce(_ union _).collect().toSeq
+            if (timing) System.err.println(
+              f"[jobs]   pool $pi chunk of ${c.size}%2d plans ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            (pi, rows)
+          }
         }
       }
       pool.invokeAll(tasks.asJava).asScala.foreach { f =>

@@ -32,7 +32,7 @@ object Ops {
   /** For each binding of `v`: #distinct `proj` satisfying the query —
     * KB.frequentBindingsOf (KB.java:2389-2552). */
   def frequentBindingsOf(triples: DataFrame, v: Var, proj: Var, atoms: Seq[Atom]): DataFrame =
-    QueryBuilder.bindings(triples, atoms)
+    QueryBuilder.distinctableBindings(triples, atoms, Set(v.name, proj.name), None)
       .groupBy(col(v.name)).agg(countDistinct(col(proj.name)).as("cnt"))
 
   /** For each binding of `v`: #distinct instantiations of the projection
@@ -40,7 +40,8 @@ object Ops {
     * (KB.java:2599-2786), the support-per-candidate primitive. */
   def countProjectionBindings(
       triples: DataFrame, projAtom: Atom, others: Seq[Atom], v: Var): DataFrame =
-    QueryBuilder.bindings(triples, projAtom +: others)
+    QueryBuilder.distinctableBindings(triples, projAtom +: others,
+        (v +: projAtom.vars).map(_.name).toSet, None)
       .groupBy(col(v.name)).agg(cd(projAtom.vars.distinct).as("cnt"))
 
   /** Distinct `vs` bindings matching `bodyAtoms` but NOT `headAtoms` —
@@ -58,7 +59,8 @@ object Ops {
       // anti-join on the empty key set would be ill-formed.
       if (existsQuery(triples, headAtoms)) a.limit(0) else a
     } else {
-      val b = QueryBuilder.bindings(triples, headAtoms)
+      val b = QueryBuilder.distinctableBindings(triples, headAtoms,
+          shared.map(_.name).toSet, None)
         .select(shared.map(v => col(v.name)): _*)
         .distinct()
       a.join(b, b.columns.toSeq, "left_anti")
@@ -82,8 +84,14 @@ object Ops {
   private def existsJoin(
       triples: DataFrame, vs: Seq[Var],
       atoms: Seq[Atom], existsAtoms: Seq[Atom], how: String): DataFrame = {
-    val base  = QueryBuilder.bindings(triples, atoms)
-    val inner = QueryBuilder.bindings(triples, existsAtoms)
+    // the outer query must keep every variable the subquery could join on
+    // (occurrence counting is per-conjunction, not cross-scope); the
+    // trailing distinct over `vs` licenses the dedup path on both sides
+    val crossScope = existsAtoms.flatMap(_.vars).map(_.name).toSet
+    val base  = QueryBuilder.distinctableBindings(triples, atoms,
+      vs.map(_.name).toSet ++ crossScope, None)
+    val inner = QueryBuilder.distinctableBindings(triples, existsAtoms,
+      atoms.flatMap(_.vars).map(_.name).toSet, None)
     val keys  = base.columns.intersect(inner.columns).toSeq
     require(keys.nonEmpty, "exists subquery shares no variable with the outer query")
     base.join(inner.select(keys.map(col): _*).distinct(), keys, how)

@@ -42,16 +42,68 @@ object QueryBuilder {
    * stats the connectivity-only order is used and Catalyst's own
    * strategies do the rest.
    */
-  def bindings(triples: DataFrame, atoms: Seq[Atom], stats: Option[KGStats]): DataFrame = {
+  def bindings(triples: DataFrame, atoms: Seq[Atom], stats: Option[KGStats]): DataFrame =
+    compile(triples, atoms, stats, None)
+
+  /**
+   * As [[bindings]], additionally applying the reference's
+   * existential-variable detection (`optimExistentialDetection`,
+   * KB.java:1793-1835,1991-2029): a variable occurring in exactly ONE atom
+   * of the conjunction and absent from `keep` can never affect the
+   * distinct image of the kept variables, so that atom is pre-projected
+   * onto its remaining variables and DEDUPLICATED before joining — the
+   * Spark shape of "check existence once instead of enumerating". Without
+   * this, a batched candidate-counting join materializes every
+   * (binding × existential-witness) row only for the final
+   * `countDistinct` to collapse them (measured: a 150k-row head joined
+   * through a 25-value hub against a fresh dangling variable builds ~10⁸
+   * intermediate rows whose distinct image is 150k).
+   *
+   * ONLY callers that aggregate with DISTINCT over (a subset of) `keep`
+   * may use this entry point: per-row multiplicities are NOT preserved.
+   * An atom whose every variable is existential degrades to a 1-row
+   * existence gate (`limit(1)`), the cross-scope check of
+   * KB.differenceNoVarsInCommon (KB.java:3423-3453).
+   */
+  def distinctableBindings(triples: DataFrame, atoms: Seq[Atom],
+      keep: Set[String], stats: Option[KGStats]): DataFrame =
+    compile(triples, atoms, stats, Some(keep))
+
+  private def compile(triples: DataFrame, atoms: Seq[Atom],
+      stats: Option[KGStats], keep: Option[Set[String]]): DataFrame = {
     require(atoms.nonEmpty, "empty conjunctive query")
     val (pseudo, rest)    = atoms.partition(_.isPseudo)
     val (meta, positive)  = rest.partition(_.isMeta)
     require(positive.nonEmpty || meta.nonEmpty,
       "query needs at least one non-filter atom")
 
+    // #atoms (positive, meta AND pseudo) each variable occurs in — a
+    // variable referenced by a pseudo filter or a meta atom is never
+    // existential-droppable from the positive atom that binds it
+    val occ: Map[String, Int] = atoms
+      .flatMap(_.vars.distinct).groupBy(_.name).view.mapValues(_.size).toMap
+    // kept variables of a positive atom under existential projection;
+    // None = atom unchanged (no keep set, or nothing to drop)
+    def keptOf(a: Atom): Option[Seq[Var]] = keep.flatMap { ks =>
+      val vs   = a.vars.distinct
+      val kept = vs.filter(v => ks(v.name) || occ(v.name) > 1)
+      if (kept.size == vs.size) None else Some(kept)
+    }
+    def table(a: Atom, i: Int): DataFrame = keptOf(a) match {
+      case Some(Nil) =>
+        atomDF(triples, a).limit(1).select(lit(true).as(s"$ExistGateCol$i"))
+      case Some(ks)  =>
+        atomDF(triples, a).select(ks.map(v => col(v.name)): _*).distinct()
+      case None      => atomDF(triples, a)
+    }
+
     val estimator = stats.map(new Estimator(_))
+    def estFor(e: Estimator)(a: Atom): Double = keptOf(a) match {
+      case Some(ks) => e.dedupEst(a, ks.map(_.name).toSet)
+      case None     => e.baseEst(a)
+    }
     val ordered = estimator match {
-      case Some(e) => cardinalityOrder(positive, e)
+      case Some(e) => cardinalityOrder(positive, e, estFor(e))
       case None    => connectivityOrder(positive)
     }
     // meta-relation atoms (KB.java:928-1063 placement freedom) lower to
@@ -60,9 +112,10 @@ object QueryBuilder {
     // distinct derived table on the shared variable columns is the
     // semi-join the reference's instantiation loop performs
     val metaDFs = meta.map(metaDF(triples, _))
-    val start   = ordered.headOption.map(atomDF(triples, _)).getOrElse(metaDFs.head)
+    val start   = ordered.headOption.map(table(_, 0)).getOrElse(metaDFs.head)
     val tails: Seq[(DataFrame, Option[Atom])] =
-      ordered.drop(1).map(a => (atomDF(triples, a), Option(a))) ++
+      ordered.drop(1).zipWithIndex
+        .map { case (a, i) => (table(a, i + 1), Option(a)) } ++
         (if (ordered.isEmpty) metaDFs.drop(1) else metaDFs).map((_, None))
     var df = start
     // Running output-cardinality estimate and bound-variable set, for the
@@ -84,7 +137,7 @@ object QueryBuilder {
     //    would not be narrow-cheap), which at 100 TB already carry
     //    thousands of splits.
     var est: Double = (estimator, ordered.headOption) match {
-      case (Some(e), Some(a)) => e.baseEst(a)
+      case (Some(e), Some(a)) => estFor(e)(a)
       case _                  => -1.0
     }
     val bound = scala.collection.mutable.Set[String](
@@ -93,8 +146,8 @@ object QueryBuilder {
       val shared = df.columns.intersect(right.columns).toSeq
       (estimator, atomOpt) match {
         case (Some(e), Some(a)) if est >= 0 && shared.nonEmpty =>
-          val rightEst = e.baseEst(a)
-          val joint    = e.joinedEst(est, a, bound)
+          val rightEst = estFor(e)(a)
+          val joint    = e.joinedEst(est, a, bound, rightEst)
           if (est <= FanoutStreamMaxRows && rightEst <= BroadcastMaxRows &&
               joint >= FanoutFactor * math.max(est, rightEst))
             df = df.repartition(shufflePartitions(triples))
@@ -114,8 +167,41 @@ object QueryBuilder {
       }
       atomOpt.foreach(_.vars.foreach(v => bound += v.name))
     }
-    if (df.columns.contains(MetaGateCol)) df = df.drop(MetaGateCol)
+    df.columns
+      .filter(c => c == MetaGateCol || c.startsWith(ExistGateCol))
+      .foreach(c => df = df.drop(c))
     pseudo.foldLeft(df)((d, a) => d.filter(pseudoFilter(d, a)))
+  }
+
+  /** Column-name prefix of an all-existential atom's 1-row gate. */
+  private val ExistGateCol = "__exist_gate"
+
+  /** Estimated output cardinality of [[distinctableBindings]] for this
+    * conjunction — the same greedy fold the compiler itself uses
+    * (estimates only; callers use it to pick between plan SHAPES, never
+    * to change results). */
+  private[graft] def estimateBindings(atoms: Seq[Atom], st: KGStats,
+      keep: Set[String]): Double = {
+    val e = new Estimator(st)
+    val positive = atoms.filterNot(a => a.isPseudo || a.isMeta)
+    if (positive.isEmpty) return 1.0
+    val occ = atoms.flatMap(_.vars.distinct).groupBy(_.name)
+      .view.mapValues(_.size).toMap
+    def estFor(a: Atom): Double = {
+      val vs   = a.vars.distinct
+      val kept = vs.filter(v => keep(v.name) || occ(v.name) > 1)
+      if (kept.size == vs.size) e.baseEst(a)
+      else e.dedupEst(a, kept.map(_.name).toSet)
+    }
+    val ordered = cardinalityOrder(positive, e, estFor)
+    val bound   = scala.collection.mutable.Set[String](
+      ordered.head.vars.map(_.name): _*)
+    var est = estFor(ordered.head)
+    for (a <- ordered.drop(1)) {
+      est = e.joinedEst(est, a, bound, estFor(a))
+      a.vars.foreach(v => bound += v.name)
+    }
+    est
   }
 
   /** Broadcast-hint ceiling, in estimated rows (~10-20 MB of triple-ish
@@ -246,14 +332,18 @@ object QueryBuilder {
     * Same result set, better plan. */
   def selectDistinct(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom],
       stats: Option[KGStats]): DataFrame =
-    bindings(triples, atoms, stats).select(vs.map(v => col(v.name)): _*).distinct()
+    // the trailing distinct makes multiplicities irrelevant — the
+    // existential-dedup path is always safe here
+    distinctableBindings(triples, atoms, vs.map(_.name).toSet, stats)
+      .select(vs.map(v => col(v.name)): _*).distinct()
 
   /** #distinct bindings of `vs` — reference countDistinct / countDistinctPairs
     * (KB.java:1860-1862,3064-3105). Exact, per BASELINE.md (no approx). */
   def countDistinctBindings(triples: DataFrame, vs: Seq[Var], atoms: Seq[Atom],
       stats: Option[KGStats] = None): Long = {
-    val df = bindings(triples,
-      dropRedundantDupAtoms(atoms, vs.map(_.name).toSet), stats)
+    val df = distinctableBindings(triples,
+      dropRedundantDupAtoms(atoms, vs.map(_.name).toSet),
+      vs.map(_.name).toSet, stats)
     val c  = if (vs.size == 1) countDistinct(col(vs.head.name))
              else countDistinct(struct(vs.map(v => col(v.name)): _*))
     df.agg(c.as("n")).collect()(0).getLong(0)
@@ -369,31 +459,66 @@ object QueryBuilder {
       * with atom `a`, given the already-bound variable names: selectivity
       * per bound position is 1/distinct-values-at-that-position
       * (independence assumed). */
-    def joinedEst(est: Double, a: Atom, bound: collection.Set[String]): Double = {
+    def joinedEst(est: Double, a: Atom, bound: collection.Set[String]): Double =
+      joinedEst(est, a, bound, baseEst(a))
+
+    /** As above with the atom side's estimate supplied — the
+      * existentially-deduped form of an atom is (often much) smaller than
+      * [[baseEst]], and the per-bound-position selectivities
+      * 1/distinct-at-position still hold for the deduped table. */
+    def joinedEst(est: Double, a: Atom, bound: collection.Set[String],
+        rightEst: Double): Double = {
       val (_, ds, dob) = relStats(a)
-      var e = est * baseEst(a)
+      var e = est * rightEst
       a.s match { case v: Var if bound(v.name) => e /= ds;  case _ => }
       a.o match { case v: Var if bound(v.name) => e /= dob; case _ => }
       math.max(e, 1.0)
     }
+
+    /** Cardinality of atom `a` existentially deduped onto `kept` variable
+      * names: the product collapses to the distinct count at the kept
+      * position(s) — for a variable predicate the per-relation stats
+      * already sum across relations (distinct (pred, subj) pairs =
+      * Σ_r distinctSubj(r)). Capped by the undeduped estimate. */
+    def dedupEst(a: Atom, kept: Set[String]): Double = {
+      val (s, ds, dob) = relStats(a)
+      def k(t: Term) = t match { case v: Var => kept(v.name); case _ => false }
+      val e0 = (k(a.s), k(a.o)) match {
+        case (true, true)   => s
+        case (true, false)  => ds
+        case (false, true)  => dob
+        case (false, false) => if (k(a.p)) st.relations.size.toDouble else 1.0
+      }
+      var e = e0
+      if (a.s.isInstanceOf[Const]) e /= ds
+      if (a.o.isInstanceOf[Const]) e /= dob
+      math.max(math.min(e, baseEst(a)), 1.0)
+    }
   }
 
-  private[graft] def cardinalityOrder(atoms: Seq[Atom], e: Estimator): Seq[Atom] = {
+  private[graft] def cardinalityOrder(atoms: Seq[Atom], e: Estimator): Seq[Atom] =
+    cardinalityOrder(atoms, e, e.baseEst)
+
+  /** As above with per-atom base estimates supplied (the existential-dedup
+    * path passes the deduped sizes — ordering should see the tables the
+    * plan will actually join). */
+  private def cardinalityOrder(atoms: Seq[Atom], e: Estimator,
+      baseEstOf: Atom => Double): Seq[Atom] = {
     if (atoms.size <= 2) return connectivityOrder(atoms)
-    import e.{baseEst, joinedEst => jEst}
     val pending = scala.collection.mutable.ArrayBuffer(atoms: _*)
     val out     = scala.collection.mutable.ArrayBuffer[Atom]()
     val bound   = scala.collection.mutable.Set[String]()
     def take(a: Atom): Unit = {
       pending -= a; out += a; a.vars.foreach(v => bound += v.name)
     }
-    take(pending.minBy(baseEst))
-    var est = baseEst(out.head)
+    def jEst(est: Double, a: Atom) = e.joinedEst(est, a, bound, baseEstOf(a))
+    take(pending.minBy(baseEstOf))
+    var est = baseEstOf(out.head)
     while (pending.nonEmpty) {
       val connected = pending.filter(_.vars.exists(v => bound(v.name)))
       val pool      = if (connected.nonEmpty) connected.toSeq else pending.toSeq
-      val pick      = pool.minBy(a => jEst(est, a, bound))
-      est = jEst(est, pick, bound)
+      val pick      = pool.minBy(a => jEst(est, a))
+      est = jEst(est, pick)
       take(pick)
     }
     out.toSeq

@@ -49,10 +49,11 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     * as a 1-row DataFrame tagged with (rule_id, kind). */
   private def agg1(ruleId: Int, kind: String, vs: Seq[Var], atoms: Seq[Atom]): DataFrame = {
     // type-I dup-relation canonicalization (rewriteProjectionQuery,
-    // DMA:538-586): projection-neutral, one join fewer
-    val df = QueryBuilder.bindings(triples,
+    // DMA:538-586): projection-neutral, one join fewer; the
+    // countDistinct aggregation licenses the existential-dedup path
+    val df = QueryBuilder.distinctableBindings(triples,
       QueryBuilder.dropRedundantDupAtoms(atoms, vs.map(_.name).toSet),
-      Some(stats))
+      vs.map(_.name).toSet, Some(stats))
     val c =
       if (vs.size == 1) countDistinct(col(vs.head.name))
       else countDistinct(struct(vs.map(v => col(v.name)): _*))
@@ -117,16 +118,20 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // the body feeds three counts, so an atom is only redundant if its
     // differing variable is outside ALL of the count/marker key sets
     // (rewriteProjectionQuery parity, DMA:538-586)
-    val base  = QueryBuilder.bindings(triples,
-      QueryBuilder.dropRedundantDupAtoms(r.body,
-        (hv.map(_.name) ++ headKeys ++ pcaKeys).toSet),
-      Some(stats))
+    // all three aggregations are countDistinct over subsets of the kept
+    // variable set — the existential-dedup path applies to the body too
+    val keepNames = (hv.map(_.name) ++ headKeys ++ pcaKeys).toSet
+    val base  = QueryBuilder.distinctableBindings(triples,
+      QueryBuilder.dropRedundantDupAtoms(r.body, keepNames),
+      keepNames, Some(stats))
     // support-only count constraints (seeds-count bias) ride in the head
     // marker: they only touch head variables, so the marker's distinct
     // key set is exactly the constrained support key set
-    val headD = QueryBuilder.bindings(triples, r.head +: cc, Some(stats))
+    val headD = QueryBuilder.distinctableBindings(triples, r.head +: cc,
+        headKeys.toSet, Some(stats))
       .select(headKeys.map(col): _*).distinct().withColumn("__h", lit(1))
-    val pcaD  = QueryBuilder.bindings(triples, Seq(pcaHead), Some(stats))
+    val pcaD  = QueryBuilder.distinctableBindings(triples, Seq(pcaHead),
+        pcaKeys.toSet, Some(stats))
       .select(pcaKeys.map(col): _*).distinct().withColumn("__p", lit(1))
     // the marker tables are bounded by the head relation's size — when
     // that fits the broadcast envelope, hint it: the two left joins then
@@ -136,15 +141,14 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     val (hD, pD)  = if (headSmall) (broadcast(headD), broadcast(pcaD))
                     else (headD, pcaD)
     val joined = base.join(hD, headKeys, "left").join(pD, pcaKeys, "left")
-    val key = if (hv.size == 1) col(hv.head.name)
-              else struct(hv.map(v => col(v.name)): _*)
-    Some(joined
-      .agg(
-        countDistinct(when(col("__h") === 1, key)).as("support"),
-        countDistinct(key).as("body"),
-        countDistinct(when(col("__p") === 1, key)).as("pca"))
-      .select(lit(ruleId).as("rule_id"),
-        col("support"), col("body"), col("pca")))
+    // pre-aggregation form: positional key-field names so the frames of
+    // different rules UNION into one shared aggregation per counting
+    // arity (one exchange per scoring wave instead of one per rule);
+    // [[planScoring]] applies the grouped conditional countDistincts
+    val key = if (hv.size == 1) col(hv.head.name).as("__key")
+              else struct(hv.zipWithIndex.map { case (v, i) =>
+                col(v.name).as(s"k$i") }: _*).as("__key")
+    Some(joined.select(lit(ruleId).as("__rid"), key, col("__h"), col("__p")))
   }
 
   /** Bounded distinct count as a 1-row plan: `limit(bound)` over the
@@ -221,7 +225,10 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
     // support counted over the same body-bound variable set as the
     // denominators; the Support output column keeps the bias's variables.
     val confSupport  = scala.collection.mutable.Map[Int, Long]()
-    val fusedPlans   = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // fused pre-agg frames bucketed by counting arity — each bucket
+    // unions into ONE aggregation job (shared exchange across rules)
+    val fusedBuckets = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.ArrayBuffer[DataFrame]]
     val parts        = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     rules.zipWithIndex.foreach { case (r, i) =>
@@ -241,7 +248,9 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
           parts += boundedCount(i, "pca", kv, pcaAtoms(r), bnd(minPca))
         case None =>
           fusedPlan(i, r, kv, cc) match {
-            case Some(df) => fusedPlans += df
+            case Some(df) =>
+              fusedBuckets.getOrElseUpdate(kv.size,
+                scala.collection.mutable.ArrayBuffer()) += df
             case None =>
               // fallback (head variable not bound by the body: bodyless,
               // fully-instantiated, or EXISTENTIAL heads): separate aggs.
@@ -297,8 +306,18 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       assemble(rules, counts, confSupport, headSizes, bias)
     }
 
+    val fusedParts = fusedBuckets.values.toSeq.map { frames =>
+      frames.reduce(_ unionAll _)
+        .groupBy(col("__rid"))
+        .agg(
+          countDistinct(when(col("__h") === 1, col("__key"))).as("support"),
+          countDistinct(col("__key")).as("body"),
+          countDistinct(when(col("__p") === 1, col("__key"))).as("pca"))
+        .select(col("__rid").as("rule_id"),
+          col("support"), col("body"), col("pca"))
+    }
     ScoringPlan(
-      Seq((fusedPlans.toSeq, JobChunk), (parts.toSeq, JobChunk), (hsParts, JobChunk)),
+      Seq((fusedParts, JobChunk), (parts.toSeq, JobChunk), (hsParts, JobChunk)),
       finish)
   }
 
@@ -309,7 +328,9 @@ final class Metrics(triples: DataFrame, stats: KGStats) {
       headSizes: Map[Int, Long],
       bias: MiningBias): Seq[ScoredRule] =
     rules.zipWithIndex.map { case (r, i) =>
-      val (support, body, pca) = counts(i)
+      // a rule with ZERO bindings produces no grouped-aggregation row
+      // (the per-rule global agg used to emit an explicit all-zero row)
+      val (support, body, pca) = counts.getOrElse(i, (0L, 0L, 0L))
       val confSupp = confSupport.getOrElse(i, support)
       val hs = headSizes.getOrElse(i, headSize(r))
       ScoredRule(

@@ -108,6 +108,22 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
   private val metrics  = new Metrics(kb, stats)
   private val candCol  = "__cand_rel" // pred-position variable of the template atom
 
+  /** Existentially-deduped views of the KB for the dangling-template jobs
+    * (the fresh variable is counted nowhere, so the template atom reduces
+    * to the distinct (relation, join-value) pairs — KB.java:1793-1835).
+    * Every dangling template of every level joins one of these two
+    * tables, so they are computed ONCE and cached — the Spark analog of
+    * the reference's relation2subject/relation2object index permutations
+    * (KB.java:57-72). Lazy: depth-2 searches never build them. */
+  private lazy val predSubjIdx =
+    kb.select(col("pred"), col("subj")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private lazy val predObjIdx =
+    kb.select(col("pred"), col("obj")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  private lazy val predSubjRows = stats.relations.values.map(_.distinctSubj).sum
+  private lazy val predObjRows  = stats.relations.values.map(_.distinctObj).sum
+
   /** Search node: rule + best PCA confidence among output ancestors
     * (skyline pruning floor, MiningAssistant.java:1212-1272) + the
     * support measured when the rule was generated (for bound pruning). */
@@ -182,7 +198,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     }
     val parts = tasks.zipWithIndex.map { case ((n, fv, nv), i) =>
       val cc = bias.countConstraints(metrics, n.rule)
-      QueryBuilder.bindings(kb, n.rule.head :: cc, Some(stats))
+      QueryBuilder.distinctableBindings(kb, n.rule.head :: cc,
+          Set(nv.name, fv.name), Some(stats))
         .groupBy(col(nv.name)).agg(countDistinct(col(fv.name)).as("supp"))
         .select(lit(i).as("id"), col(nv.name).as("c"), col("supp"))
     }
@@ -384,16 +401,108 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     // rows -> ~40k on the sf0.1 dimension KB). ~TemplateChunk plans are
     // unioned per job to bound Catalyst planning cost, and chunk jobs
     // run concurrently (Jobs.collectChunked).
-    val parts = templates.zipWithIndex.map { case ((idx, tpl, _), tplId) =>
+    // One plan per (rule, operator kind) when the rule's body estimate is
+    // small: the body is scanned ONCE and unpivoted over the templates'
+    // join variables, so a level's candidate counting costs O(#rules)
+    // plans instead of O(#templates) — at local scale the per-plan
+    // driver/stage overhead dominates these tiny jobs (measured
+    // ~0.25 s/plan), and at cluster scale one body scan per rule beats
+    // one per template. Rules whose body-only estimate is large fall back
+    // to one compiler plan per template, where the template atom is
+    // interleaved into the join order (the round-3 fix: the stats order
+    // schedules it before weakly-selective body joins, so the exploded
+    // body-only cross section — measured 9M rows on hub-shaped bodies —
+    // is never materialized).
+    val byRule = templates.zipWithIndex
+      .groupBy { case ((idx, _, isDangling), _) => (idx, isDangling) }
+      .toSeq.sortBy(_._2.head._2)
+    // merged bodies bucketed by (kind, count-arity): each bucket becomes
+    // ONE plan — union of the normalized unpivoted bodies, one shared
+    // join, one final aggregation (vs one exchange per rule)
+    val mergedBodies = scala.collection.mutable.LinkedHashMap
+      .empty[(Boolean, Int), scala.collection.mutable.ArrayBuffer[DataFrame]]
+    val fallback = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (((idx, isDangling), tpls) <- byRule) {
       val r  = nodes(idx).rule
       val cc = bias.countConstraints(metrics, r)
-      val df = QueryBuilder.bindings(kb, (r.atoms ++ cc) :+ tpl, Some(stats))
       val hv = countVarsOf(r) // bias-chosen support variables
-      val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
-               else countDistinct(struct(hv.map(v => col(v.name)): _*))
-      df.groupBy(col(candCol)).agg(cd.as("supp"))
-        .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
+      val tplVars = tpls.flatMap { case ((_, tpl, _), _) => tpl.vars }
+        .filter(_.name != candCol).map(_.name).toSet
+      val keepAll = hv.map(_.name).toSet ++
+        (tplVars intersect r.allVars.map(_.name).toSet)
+      val bodyEst = QueryBuilder.estimateBindings(r.atoms ++ cc, stats, keepAll)
+      if (bodyEst <= Miner.MergeBodyMaxRows) {
+        val body = QueryBuilder.distinctableBindings(kb, r.atoms ++ cc,
+          keepAll, Some(stats))
+        val ruleVars = r.allVars.map(_.name).toSet
+        val entries = tpls.map { case ((_, tpl, _), tplId) =>
+          if (isDangling) {
+            // existential-dedup form (KB.java:1793-1835): the fresh
+            // variable is counted nowhere, so each template reduces to a
+            // join against the cached (relation, value) index views
+            (tpl.s, tpl.o) match {
+              case (j: Var, f: Var) if ruleVars(j.name) && !ruleVars(f.name) =>
+                struct(lit(tplId).as("tid"), lit("s").as("__k1"),
+                  col(j.name).as("__k2"))
+              case (f: Var, j: Var) if ruleVars(j.name) && !ruleVars(f.name) =>
+                struct(lit(tplId).as("tid"), lit("o").as("__k1"),
+                  col(j.name).as("__k2"))
+              case other => sys.error(s"malformed dangling template: $other")
+            }
+          } else (tpl.s, tpl.o) match {
+            // closing templates: every ordered variable pair joins the
+            // same fact table, keyed (subj, obj)
+            case (a: Var, b: Var) =>
+              struct(lit(tplId).as("tid"), col(a.name).as("__k1"),
+                col(b.name).as("__k2"))
+            case other => sys.error(s"malformed closing template: $other")
+          }
+        }
+        // positional key-field names so bodies of different rules union;
+        // binding columns are projections of triple values (never null),
+        // so countDistinct over the struct equals the per-column count
+        val keyCol =
+          if (hv.size == 1) col(hv.head.name).as("__key")
+          else struct(hv.zipWithIndex.map { case (v, i) =>
+            col(v.name).as(s"k$i") }: _*).as("__key")
+        val unp = body
+          .select(keyCol, explode(array(entries.toSeq: _*)).as("__jv"))
+          .select(col("__key"), col("__jv.tid").as("__tid"),
+            col("__jv.__k1").as("__k1"), col("__jv.__k2").as("__k2"))
+        mergedBodies.getOrElseUpdate((isDangling, hv.size),
+          scala.collection.mutable.ArrayBuffer()) += unp
+      } else fallback ++= tpls.map { case ((_, tpl, _), tplId) =>
+        // big-body fallback: template atom inside the conjunction (stats
+        // order interleaves it; the compiler existentially dedups a
+        // dangling template's fresh variable)
+        val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
+                 else countDistinct(struct(hv.map(v => col(v.name)): _*))
+        QueryBuilder.distinctableBindings(kb, (r.atoms ++ cc) :+ tpl,
+            hv.map(_.name).toSet + candCol, Some(stats))
+          .groupBy(col(candCol)).agg(cd.as("supp"))
+          .select(lit(tplId).as("tpl_id"), col(candCol).as("rel"), col("supp"))
+      }
     }
+    val mergedParts = mergedBodies.toSeq.map { case ((isDangling, _), frames) =>
+      val u = frames.reduce(_ unionAll _)
+      val (right, rightSmall) =
+        if (isDangling) {
+          val idxAll = predSubjIdx.select(lit("s").as("__k1"),
+              col("subj").as("__k2"), col("pred").as("__rel"))
+            .unionAll(predObjIdx.select(lit("o").as("__k1"),
+              col("obj").as("__k2"), col("pred").as("__rel")))
+          (idxAll, predSubjRows + predObjRows <= QueryBuilder.BroadcastMaxRows)
+        } else {
+          val facts = kb.select(col("subj").as("__k1"),
+            col("obj").as("__k2"), col("pred").as("__rel"))
+          (facts, stats.totalFacts <= QueryBuilder.BroadcastMaxRows)
+        }
+      u.join(if (rightSmall) broadcast(right) else right, Seq("__k1", "__k2"))
+        .groupBy(col("__tid"), col("__rel"))
+        .agg(countDistinct(col("__key")).as("supp"))
+        .select(col("__tid").as("tpl_id"), col("__rel").as("rel"), col("supp"))
+    }
+    val parts = mergedParts ++ fallback
     val (iTasks, iParts) = planInstantiations(nodes)
     RefinePlan(nodes, templates.toIndexedSeq, iTasks,
       Seq((parts.toSeq, Miner.TemplateChunk), (iParts, Metrics.JobChunk)))
@@ -489,8 +598,9 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
         val hv = countVarsOf(r)
         val cd = if (hv.size == 1) countDistinct(col(hv.head.name))
                  else countDistinct(struct(hv.map(v => col(v.name)): _*))
-        QueryBuilder.bindings(kb, r.atoms ++ bias.countConstraints(metrics, r),
-            Some(stats)).agg(cd.as("supp"))
+        QueryBuilder.distinctableBindings(kb,
+            r.atoms ++ bias.countConstraints(metrics, r),
+            hv.map(_.name).toSet, Some(stats)).agg(cd.as("supp"))
           .select(lit(i).as("id"), col("supp"))
       }
       val supps = Jobs.collectChunked(parts.toSeq, Metrics.JobChunk)
@@ -599,8 +709,9 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       val cd =
         if (rest.size == 1) countDistinct(col(rest.head.name))
         else countDistinct(struct(rest.map(h => col(h.name)): _*))
-      QueryBuilder.bindings(kb, r.atoms ++ bias.countConstraints(metrics, r),
-          Some(stats))
+      QueryBuilder.distinctableBindings(kb,
+          r.atoms ++ bias.countConstraints(metrics, r),
+          (v +: rest).map(_.name).toSet, Some(stats))
         .groupBy(col(v.name)).agg(cd.as("supp"))
         .select(lit(taskId).as("task_id"), col(v.name).as("c"), col("supp"))
     }
@@ -653,6 +764,16 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
 }
 
 object Miner {
+  /** Body-estimate ceiling for the merged one-plan-per-rule candidate
+    * counting: above it, materializing the body without the template atom
+    * risks the hub-shaped cross-section blow-up, so each template gets
+    * its own compiler-ordered plan instead. Env-tunable. */
+  val MergeBodyMaxRows: Double =
+    sys.env.get("GRAFT_MERGE_BODY_MAX_ROWS")
+      .flatMap(v => scala.util.Try(v.trim.toDouble).toOption)
+      .filter(_ > 0)
+      .getOrElse(2e6)
+
   /** Candidate-counting templates per chunk job. Measured A/B at sf0.1
     * (round 3, stats-ordered plans): 12 beats 24 and 48 — smaller chunks
     * plan faster and overlap better under the concurrent job pool.
