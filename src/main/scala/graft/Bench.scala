@@ -23,6 +23,26 @@ import org.apache.spark.sql.SparkSession
  */
 object Bench {
 
+  /** Recorded best-clean-window level times per scaling pair,
+    * label → (sec_n floor, sec_4n floor) — the absolute reference the
+    * degraded-round appender checks alongside the within-run relative
+    * rule (BASELINE.md records the provenance). Override:
+    * GRAFT_SCALING_FLOORS="pipeline:47.8:13.4,pipeline_wide:44.7:16.0". */
+  val scalingFloors: Map[String, (Double, Double)] = {
+    val defaults = Map(
+      "pipeline"      -> (47.8, 13.4),  // r3 official clean window
+      "pipeline_wide" -> (44.7, 16.0))  // best observed (r4 runs)
+    sys.env.get("GRAFT_SCALING_FLOORS").fold(defaults) { s =>
+      defaults ++ s.split(",").flatMap { e =>
+        e.split(":") match {
+          case Array(k, a, b) =>
+            scala.util.Try((k, (a.toDouble, b.toDouble))).toOption
+          case _ => None
+        }
+      }.toMap
+    }
+  }
+
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a  = f
@@ -209,11 +229,20 @@ object Bench {
           pipelineRun(nCores, docs, vocab, innerRepsN),
           pipelineRun(4 * nCores, docs, vocab, innerReps4N))
       var pairs = (1 to reps).map(_ => oneRound())
+      // recorded per-level floors (best clean-window times, BASELINE.md)
+      // complement the relative rule: when EVERY round of a run lands in
+      // the same degraded window, the relative minima are themselves
+      // inflated and only an absolute reference can tell (the 2nd/3rd
+      // official r4 runs measured sec_n 79-95 vs the 47.8 floor on
+      // unchanged code, and no round was flagged).
+      val (floorN, floor4N) = Bench.scalingFloors.getOrElse(label, (0.0, 0.0))
       val degraded = {
         val minN  = pairs.map(_._2._2).min
         val min4N = pairs.map(_._3._2).min
         pairs.count { case ((_, probeBad), (_, sn), (_, s4n)) =>
-          probeBad || (sn > 1.4 * minN && s4n > 1.4 * min4N) }
+          probeBad || (sn > 1.4 * minN && s4n > 1.4 * min4N) ||
+          (floorN > 0 && sn > 1.5 * floorN) ||
+          (floor4N > 0 && s4n > 1.5 * floor4N) }
       }
       val remeasured = reps > 1 && degraded > 0
       if (remeasured) pairs = pairs :+ oneRound()
@@ -304,7 +333,17 @@ object Bench {
       // All rounds stay in the JSON.
       val degraded = {
         val soloMin = roundRows.map(_._2).min
-        roundRows.count(r => r._1._2 || r._2 > 1.5 * soloMin)
+        roundRows.count { r =>
+          val concMedian = r._3.sorted.apply((r._3.size - 1) / 2)
+          r._1._2 || r._2 > 1.5 * soloMin ||
+          // concurrent-phase thermometer: the shards are identical work on
+          // DISJOINT pinned cores, so a concurrent median beyond 1.8× the
+          // round's own solo time is neighbor steal, not self-contention
+          // (clean rounds measure 1.15-1.35×, the degraded official-r4
+          // round measured 2.28×; genuine contention that extreme would
+          // still dominate the appended round and stay visible)
+          concMedian > 1.8 * r._2
+        }
       }
       if (rounds > 1 && degraded > 0) roundRows = roundRows :+ oneRound()
       val effMedian = roundRows.map(_._4).sorted.apply((roundRows.size - 1) / 2)
@@ -370,7 +409,9 @@ object Bench {
     // rerun costs its own sub-second runtime). All attempts are emitted
     // in "query_attempts" — nothing is hidden.
     val steadyFloors = Map(
-      "kb_mined_rules" -> 12.0, "kb_mined_rules_d2" -> 6.6,
+      // mining floors re-recorded after the r4 existential-dedup +
+      // level-merge work (BASELINE.md 2026-08-18 evening)
+      "kb_mined_rules" -> 10.5, "kb_mined_rules_d2" -> 5.7,
       "dedup_ngram_jaccard" -> 7.8, "sim_lsh_topk" -> 6.4,
       "dedup_embedding" -> 5.5, "dedup_clusters" -> 2.7,
       "dedup_minhash_lsh" -> 2.2, "kb_encoded" -> 3.0,
