@@ -206,4 +206,45 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"overlap join degenerated:\n$p")
     assert(p.contains("HashAggregate"), s"no hash aggregation:\n$p")
   }
+
+  test("existential dedup: witness variable projected away, distinct image unchanged") {
+    val t     = pipeline.triples()
+    val stats = Some(KGStats.compute(t))
+    // the miner's dangling-template shape: fresh z joins nothing else and
+    // is not counted — the compiled frame must not even carry its column
+    // (the witness fan-out is pre-aggregated below the join,
+    // KB.java:1793-1835 parity)
+    val atoms = Seq(
+      Atom(Var("x"), Const("worksAt"), Var("y")),
+      Atom(Var("z"), Var("cand"), Var("y")))
+    val deduped = QueryBuilder.distinctableBindings(t, atoms,
+      Set("x", "y", "cand"), stats)
+    assert(!deduped.columns.contains("z"),
+      s"existential variable survived: ${deduped.columns.mkString(",")}")
+    val exact = QueryBuilder.bindings(t, atoms, stats)
+    assert(deduped.select("x", "y", "cand").distinct()
+      .exceptAll(exact.select("x", "y", "cand").distinct()).isEmpty &&
+      exact.select("x", "y", "cand").distinct()
+        .exceptAll(deduped.select("x", "y", "cand").distinct()).isEmpty,
+      "dedup changed the distinct image")
+    // a pseudo-atom reference keeps the variable (it is read elsewhere)
+    val guarded = QueryBuilder.distinctableBindings(t,
+      atoms :+ Atom(Var("z"), Const(Atom.DifferentFrom), Var("x")),
+      Set("x", "y", "cand"), stats)
+    assert(guarded.columns.contains("z"),
+      "variable referenced by a pseudo-atom must not be projected away")
+    // an atom whose every variable is existential degrades to a gate:
+    // same distinct image, no columns leaked
+    val gated = QueryBuilder.distinctableBindings(t,
+      Seq(Atom(Var("x"), Const("worksAt"), Var("y")),
+        Atom(Var("p"), Const("livesIn"), Var("q"))),
+      Set("x", "y"), stats)
+    assert(gated.columns.sorted.toSeq == Seq("x", "y"),
+      s"gate leaked columns: ${gated.columns.mkString(",")}")
+    // livesIn is non-empty in this corpus, so the gate passes everything
+    val base = QueryBuilder.bindings(t,
+      Seq(Atom(Var("x"), Const("worksAt"), Var("y"))), stats)
+    assert(gated.select("x", "y").distinct().count() ==
+      base.select("x", "y").distinct().count())
+  }
 }
