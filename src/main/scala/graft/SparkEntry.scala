@@ -389,17 +389,22 @@ object SparkEntry {
     //      support/HC/std/PCA thresholds, functional-variable choice).
     //      kb_mined_rules below keeps exercising the depth-3 search.
     "kb_mined_rules_d2" -> { (s, dir) =>
+      // assumeDistinct: every miningKB branch emits one row per unique
+      // source key and the branches carry distinct predicates
       val rules = new Miner(miningKB(s, dir),
         MinerConfig(minSupport = 20, minHeadCoverage = 0.05,
-          minPcaConfidence = 0.5, maxDepth = 2)).mine()
+          minPcaConfidence = 0.5, maxDepth = 2, assumeDistinct = true)).mine()
       RuleSink.toDF(s, rules)
     },
 
     "kb_mined_rules" -> { (s, dir) =>
       val dims = tpchTriples(s, dir)
         .where(col("pred").isin("custNation", "suppNation", "nationRegion", "custRegion"))
+      // assumeDistinct: each branch of tpchTriples emits one row per
+      // unique key (customer/supplier/nation) and predicates differ
       val rules = new Miner(dims,
-        MinerConfig(minSupport = 20, minHeadCoverage = 0.05, minPcaConfidence = 0.5)).mine()
+        MinerConfig(minSupport = 20, minHeadCoverage = 0.05,
+          minPcaConfidence = 0.5, assumeDistinct = true)).mine()
       // Self-gating (depth-3 BFS is not SQL-expressible, so no DuckDB
       // oracle — instead the entry refuses to return unless the planted
       // depth-3 rule custNation(c,n) ∧ nationRegion(n,r) ⇒ custRegion(c,r)
@@ -418,17 +423,25 @@ object SparkEntry {
       val got = rules.find(_.rule.canonical == planted.canonical).getOrElse(
         sys.error("planted depth-3 rule not recovered: " + planted.amieString))
       dims.createOrReplaceTempView("mined_dims_check")
+      // one aggregation pass: body rows are distinct and both marker
+      // tables are distinct on their join keys, so the left joins add at
+      // most one match per row — counting matched rows equals counting
+      // matched distinct pairs (3 scalar subqueries = 3 Spark jobs
+      // otherwise)
       val exp = s.sql(
         """WITH cn AS (SELECT subj c, obj n FROM mined_dims_check WHERE pred='custNation'),
           |     nr AS (SELECT subj n, obj r FROM mined_dims_check WHERE pred='nationRegion'),
           |     cr AS (SELECT subj c, obj r FROM mined_dims_check WHERE pred='custRegion'),
-          |     body AS (SELECT DISTINCT cn.c, nr.r FROM cn JOIN nr ON cn.n = nr.n)
+          |     body AS (SELECT DISTINCT cn.c, nr.r FROM cn JOIN nr ON cn.n = nr.n),
+          |     crp AS (SELECT DISTINCT c, r FROM cr),
+          |     crs AS (SELECT DISTINCT c FROM cr)
           |SELECT
-          |  (SELECT count(*) FROM (SELECT DISTINCT b.c, b.r FROM body b
-          |     JOIN cr ON b.c = cr.c AND b.r = cr.r)) AS support,
-          |  (SELECT count(*) FROM body) AS body_size,
-          |  (SELECT count(*) FROM (SELECT DISTINCT b.c, b.r FROM body b
-          |     JOIN cr ON b.c = cr.c)) AS pca_body_size
+          |  count(CASE WHEN p.c IS NOT NULL THEN 1 END) AS support,
+          |  count(*) AS body_size,
+          |  count(CASE WHEN s.c IS NOT NULL THEN 1 END) AS pca_body_size
+          |FROM body b
+          |LEFT JOIN crp p ON b.c = p.c AND b.r = p.r
+          |LEFT JOIN crs s ON b.c = s.c
           |""".stripMargin).head()
       require(got.support == exp.getLong(0) && got.bodySize == exp.getLong(1) &&
         got.pcaBodySize == exp.getLong(2),

@@ -78,7 +78,13 @@ final case class MinerConfig(
       * parent → direct-subtypes via [[graft.kb.Taxonomy.directSubTypes]]. */
     enableTypeSpecialization: Boolean = false,
     typeRelation: String = "rdf:type",
-    subTypes: Map[String, Seq[String]] = Map.empty)
+    subTypes: Map[String, Seq[String]] = Map.empty,
+    /** the KB contract is a fact SET (the reference dedups on insert,
+      * KB.java:334-381); a caller whose input is distinct BY CONSTRUCTION
+      * (e.g. dimension rows keyed by a unique id) may skip the miner's
+      * defensive dedup shuffle. Metrics are silently wrong if the
+      * assertion is false — leave off unless provable. */
+    assumeDistinct: Boolean = false)
 
 /**
  * Level-synchronous BFS rule miner — the Spark re-architecture of the
@@ -103,7 +109,8 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     * and it is scanned by every candidate-counting job of every level —
     * cache it (at cluster scale this is the in-memory columnar copy the
     * reference holds in its six indexes). */
-  private val kb       = triples.distinct().cache()
+  private val kb =
+    (if (config.assumeDistinct) triples else triples.distinct()).cache()
   val stats: KGStats   = KGStats.compute(kb)
   private val metrics  = new Metrics(kb, stats)
   private val candCol  = "__cand_rel" // pred-position variable of the template atom
