@@ -13,6 +13,14 @@ class MinerSpec extends AnyFunSuite {
     minSupport = 2, minHeadCoverage = 0.1, minPcaConfidence = 0.1,
     maxDepth = 3)
 
+  test("assumeDistinct on a distinct KB mines the identical rule set") {
+    val base = Fixtures.baseKB(spark).distinct()
+    val a = new Miner(base, cfg).mine()
+    val b = new Miner(base, cfg.copy(assumeDistinct = true)).mine()
+    assert(a.map(s => (s.rule.canonical, s.support, s.bodySize, s.pcaBodySize)) ==
+      b.map(s => (s.rule.canonical, s.support, s.bodySize, s.pcaBodySize)))
+  }
+
   test("mines worksAt∧isLocatedIn ⇒ livesIn on the base fixture with exact metrics") {
     val rules = new Miner(Fixtures.baseKB(spark), cfg).mine()
     assert(rules.nonEmpty)
