@@ -411,7 +411,7 @@ object Bench {
     val steadyFloors = Map(
       // mining floors re-recorded after the r4 existential-dedup +
       // level-merge work (BASELINE.md 2026-08-18 evening)
-      "kb_mined_rules" -> 10.5, "kb_mined_rules_d2" -> 5.7,
+      "kb_mined_rules" -> 8.0, "kb_mined_rules_d2" -> 4.8,
       "dedup_ngram_jaccard" -> 7.8, "sim_lsh_topk" -> 6.4,
       "dedup_embedding" -> 5.5, "dedup_clusters" -> 2.7,
       "dedup_minhash_lsh" -> 2.2, "kb_encoded" -> 3.0,
