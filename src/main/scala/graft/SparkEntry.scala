@@ -100,6 +100,51 @@ object SparkEntry {
       |  UNION ALL SELECT 'o' || o_orderkey, 'orderPriority', o_orderpriority FROM orders
       |)""".stripMargin
 
+  /** Schema-annotated KB for the Schema.getDomainSet /
+    * getHistogramOnDomain queries: a multi-valued-per-subject data
+    * relation (customer → priorities of their orders) plus inline
+    * `rdf:type` / `rdfs:subClassOf` / `rdfs:domain` facts. Only ⅔ of
+    * customers carry a type (so domainSet's observed-subjects union
+    * matters) and BUILDING-segment customers are typed through a
+    * subclass (so the closure matters). */
+  private def schemaKb(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val copr = t(s, dir, "orders").select(
+      concat(lit("c"), col("o_custkey")).as("subj"),
+      lit("custOrderPriority").as("pred"),
+      col("o_orderpriority").as("obj")).distinct()
+    val typed = t(s, dir, "customer").where(col("c_custkey") % 3 =!= 0).select(
+      concat(lit("c"), col("c_custkey")).as("subj"),
+      lit("rdf:type").as("pred"),
+      when(col("c_mktsegment") === "BUILDING", lit("BuildingCustomer"))
+        .otherwise(lit("Customer")).as("obj"))
+    val schemaFacts = Seq(
+      ("BuildingCustomer", "rdfs:subClassOf", "Customer"),
+      ("custOrderPriority", "rdfs:domain", "Customer")).toDF("subj", "pred", "obj")
+    copr.union(typed).union(schemaFacts)
+  }
+
+  /** Shared SQL prefix defining the same schema-annotated KB (plus its
+    * subclass closure and typed-entity set) for DuckDB. */
+  private val schemaKbCte =
+    """WITH RECURSIVE kb(subj, pred, obj) AS (
+      |  SELECT DISTINCT 'c' || o_custkey, 'custOrderPriority', o_orderpriority FROM orders
+      |  UNION ALL SELECT 'c' || c_custkey, 'rdf:type',
+      |    CASE WHEN c_mktsegment = 'BUILDING' THEN 'BuildingCustomer' ELSE 'Customer' END
+      |    FROM customer WHERE c_custkey % 3 <> 0
+      |  UNION ALL SELECT * FROM (VALUES
+      |    ('BuildingCustomer', 'rdfs:subClassOf', 'Customer'),
+      |    ('custOrderPriority', 'rdfs:domain', 'Customer')) v(a, b, c)),
+      |clo(child, parent) AS (
+      |  SELECT subj, obj FROM kb WHERE pred = 'rdfs:subClassOf'
+      |  UNION
+      |  SELECT c.child, e.obj FROM clo c
+      |  JOIN kb e ON c.parent = e.subj AND e.pred = 'rdfs:subClassOf'),
+      |typed AS (
+      |  SELECT DISTINCT subj AS entity FROM kb
+      |  WHERE pred = 'rdf:type'
+      |    AND (obj = 'Customer' OR obj IN (SELECT child FROM clo WHERE parent = 'Customer')))""".stripMargin
+
   /** Flagship: the full north-star path in one call — deterministic
     * interleaved-doc corpus → KG-construction pipeline (mention detect,
     * CC canonicalization, link scoring, bucketed materialize) → AMIE-style
@@ -512,6 +557,20 @@ object SparkEntry {
         .toDF("rel", "dom", "rng")
     },
 
+    // ---- §2.11 schema: getDomainSet (Schema.java:608-621) — declared
+    //      domain-class instances (subclass closure) ∪ observed subjects.
+    //      The KB types only ⅔ of customers, so both branches contribute.
+    "kb_domain_set" -> ((s, dir) =>
+      Taxonomy.domainSet(schemaKb(s, dir), "custOrderPriority")),
+
+    // ---- §2.11 schema: getHistogramOnDomain (Schema.java:742-779) —
+    //      facts-per-entity distribution on the relation's functional
+    //      side, restricted to declared-domain-typed entities
+    "kb_histogram_domain" -> { (s, dir) =>
+      val kb = schemaKb(s, dir)
+      Taxonomy.histogramOnDomain(kb, "custOrderPriority", KGStats.compute(kb))
+    },
+
     // ---- §2.1 dictionary: deterministic dense ids + encode round-trip
     "kb_dictionary" -> ((s, dir) => Dictionary.build(tpchTriples(s, dir))),
     "kb_encoded" -> { (s, dir) =>
@@ -811,6 +870,18 @@ object SparkEntry {
         |SELECT rels.rel, d.dom, r.rng FROM rels
         |LEFT JOIN d ON d.rel = rels.rel
         |LEFT JOIN r ON r.rel = rels.rel""".stripMargin,
+    "kb_domain_set" ->
+      s"""$schemaKbCte
+         |SELECT entity FROM typed
+         |UNION
+         |SELECT DISTINCT subj FROM kb WHERE pred = 'custOrderPriority'""".stripMargin,
+    "kb_histogram_domain" ->
+      s"""$schemaKbCte,
+         |counts AS (
+         |  SELECT subj AS entity, count(*) AS n FROM kb
+         |  WHERE pred = 'custOrderPriority' GROUP BY subj)
+         |SELECT n, count(*) AS entities FROM counts
+         |JOIN typed USING (entity) GROUP BY n""".stripMargin,
     "kb_dictionary" ->
       s"""$triplesCte,
          |terms AS (SELECT DISTINCT term FROM (

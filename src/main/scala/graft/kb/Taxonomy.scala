@@ -111,4 +111,85 @@ object Taxonomy {
     types.toDF("entity", "cls").join(broadcast(subs), "cls")
       .select(col("entity")).distinct()
   }
+
+  /** Schema.getDomainSet(KB, relation) parity (Schema.java:608-621):
+    * all entities of the relation's DECLARED domain class — subclass
+    * closure included, getAllEntitiesForType semantics
+    * (Schema.java:575-585) — unioned with the subjects actually observed
+    * for the relation. `kb` carries its schema facts (`rdf:type`,
+    * `rdfs:subClassOf`, `rdfs:domain`, `rdfs:range`, `rdfs:subPropertyOf`)
+    * inline alongside the data facts, like the reference's schema-enabled
+    * KBs. No declared domain ⇒ the observed subjects alone
+    * (Schema.java:616-617 skips the type scan). One column: `entity`. */
+  def domainSet(kb: DataFrame, relation: String,
+      typeRelation: String = "rdf:type",
+      subClassRelation: String = "rdfs:subClassOf"): DataFrame =
+    signatureSet(kb, relation, "subj", wantDomain = true,
+      typeRelation, subClassRelation)
+
+  /** Schema.getRangeSet mirror (Schema.java:695-712): declared range
+    * class instances ∪ observed objects. */
+  def rangeSet(kb: DataFrame, relation: String,
+      typeRelation: String = "rdf:type",
+      subClassRelation: String = "rdfs:subClassOf"): DataFrame =
+    signatureSet(kb, relation, "obj", wantDomain = false,
+      typeRelation, subClassRelation)
+
+  private def signatureSet(kb: DataFrame, relation: String, pos: String,
+      wantDomain: Boolean, typeRelation: String,
+      subClassRelation: String): DataFrame = {
+    val (doms, rngs) = relationSignatures(kb)
+    val observed = kb.where(col("pred") === relation)
+      .select(col(pos).as("entity")).distinct()
+    (if (wantDomain) doms else rngs).get(relation) match {
+      case None => observed
+      case Some(cls) =>
+        val types = kb.where(col("pred") === typeRelation)
+          .select(col("subj"), col("obj"))
+        val subs = kb.where(col("pred") === subClassRelation)
+          .select(col("subj"), col("obj"))
+        transitiveInstances(types, subs, cls).union(observed).distinct()
+    }
+  }
+
+  /**
+   * Schema.getHistogramOnDomain parity (Schema.java:742-779): the
+   * distribution of facts-per-entity of `relation`, measured on its more
+   * functional side and restricted to entities of the matching declared
+   * type — subclass closure included. A functional relation
+   * (functionality ≥ inverse functionality, the reference's
+   * KB.isFunctional) counts facts per SUBJECT against the declared
+   * `rdfs:domain` class; otherwise per OBJECT against the declared
+   * `rdfs:range` class. (The reference's non-functional branch enumerates
+   * subject-position bindings under a swapped variable label,
+   * Schema.java:757-759 — this implementation mirrors the functional
+   * branch's semantics onto the object side instead of reproducing the
+   * label mix-up.) No declared class ⇒ empty histogram
+   * (Schema.java:753-755). Facts are set-semantics distinct triples, so
+   * per-entity fact counts equal distinct-value counts, as in the
+   * reference's in-memory KB. Output: (n, entities) — #entities of the
+   * declared type with exactly n facts.
+   */
+  def histogramOnDomain(kb: DataFrame, relation: String, stats: KGStats,
+      typeRelation: String = "rdf:type",
+      subClassRelation: String = "rdfs:subClassOf"): DataFrame = {
+    val functional =
+      stats.functionality(relation) >= stats.inverseFunctionality(relation)
+    val keyPos = if (functional) "subj" else "obj"
+    val (doms, rngs) = relationSignatures(kb)
+    (if (functional) doms else rngs).get(relation) match {
+      case None =>
+        kb.limit(0).select(lit(0L).as("n"), lit(0L).as("entities"))
+      case Some(cls) =>
+        val types = kb.where(col("pred") === typeRelation)
+          .select(col("subj"), col("obj"))
+        val subs = kb.where(col("pred") === subClassRelation)
+          .select(col("subj"), col("obj"))
+        val typed = transitiveInstances(types, subs, cls)
+        kb.where(col("pred") === relation)
+          .groupBy(col(keyPos).as("entity")).agg(count(lit(1)).as("n"))
+          .join(typed, "entity")
+          .groupBy("n").agg(count(lit(1)).as("entities"))
+    }
+  }
 }

@@ -56,6 +56,72 @@ class MiscOpsSpec extends AnyFunSuite {
     assert(got == Set("e1", "e2", "e3"))
   }
 
+  test("domainSet/rangeSet: declared-class closure ∪ observed entities (Schema.java:608-621,695-712)") {
+    import spark.implicits._
+    // owns: domain Person (Employee ⊑ Person, depth-2 via Staff ⊑ Employee),
+    // range Thing. p3 is untyped but observed as a subject; t9 typed Thing
+    // but never an object; u1 is typed with an unrelated class.
+    val kb = Seq(
+      ("p1", "owns", "car1"), ("p2", "owns", "car2"), ("p3", "owns", "car1"),
+      ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Staff"),
+      ("p4", "rdf:type", "Employee"), ("u1", "rdf:type", "Alien"),
+      ("car1", "rdf:type", "Thing"), ("t9", "rdf:type", "Thing"),
+      ("Staff", "rdfs:subClassOf", "Employee"),
+      ("Employee", "rdfs:subClassOf", "Person"),
+      ("owns", "rdfs:domain", "Person"), ("owns", "rdfs:range", "Thing"),
+      ("likes", "rdf:type", "rdf:Property")).toDF("subj", "pred", "obj")
+    val dom = Taxonomy.domainSet(kb, "owns").collect().map(_.getString(0)).toSet
+    assert(dom == Set("p1", "p2", "p3", "p4")) // typed closure ∪ subjects, no u1
+    val rng = Taxonomy.rangeSet(kb, "owns").collect().map(_.getString(0)).toSet
+    assert(rng == Set("car1", "car2", "t9"))
+    // no declared domain → observed subjects only (Schema.java:616-617)
+    val noDecl = Taxonomy.domainSet(kb, "likes").collect().map(_.getString(0)).toSet
+    assert(noDecl == Set.empty)
+  }
+
+  test("histogramOnDomain: functional side, typed-only, hand-computed (Schema.java:742-779)") {
+    import spark.implicits._
+    // speaks: subjects unique-ish (functionality > inverse) → per-subject
+    // counts against domain Person; p3 (2 langs) is untyped → excluded.
+    val kb = Seq(
+      ("p1", "speaks", "en"), ("p1", "speaks", "fr"), ("p1", "speaks", "de"),
+      ("p2", "speaks", "en"),
+      ("p3", "speaks", "en"), ("p3", "speaks", "fr"),
+      ("p4", "speaks", "en"),
+      ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Staff"),
+      ("p4", "rdf:type", "Person"),
+      ("Staff", "rdfs:subClassOf", "Person"),
+      ("speaks", "rdfs:domain", "Person")).toDF("subj", "pred", "obj")
+    val stats = KGStats.compute(kb)
+    // 4 distinct subjects / 7 facts vs 3 distinct objects / 7 facts
+    assert(stats.functionality("speaks") >= stats.inverseFunctionality("speaks"))
+    val hist = Taxonomy.histogramOnDomain(kb, "speaks", stats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p1: 3 facts, p2: 1, p4: 1 — p3 untyped drops out
+    assert(hist == Map(3L -> 1L, 1L -> 2L))
+    // no declared class → empty histogram (Schema.java:753-755)
+    assert(Taxonomy.histogramOnDomain(kb, "rdf:type", stats).count() == 0)
+  }
+
+  test("histogramOnDomain: non-functional relation routes to the range side") {
+    import spark.implicits._
+    // employs: one company, many employees → inverseFunctionality(=1/4 per
+    // object... ) — objects unique, subjects repeat → count per OBJECT
+    // against the declared range class.
+    val kb = Seq(
+      ("acme", "employs", "p1"), ("acme", "employs", "p2"),
+      ("acme", "employs", "p3"), ("globex", "employs", "p1"),
+      ("p1", "rdf:type", "Person"), ("p2", "rdf:type", "Person"),
+      ("employs", "rdfs:range", "Person"),
+      ("employs", "rdfs:domain", "Company")).toDF("subj", "pred", "obj")
+    val stats = KGStats.compute(kb)
+    assert(stats.functionality("employs") < stats.inverseFunctionality("employs"))
+    val hist = Taxonomy.histogramOnDomain(kb, "employs", stats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // p1: 2 employers, p2: 1 — p3 untyped drops out
+    assert(hist == Map(2L -> 1L, 1L -> 1L))
+  }
+
   test("rule sink: reference column order, deterministic rows") {
     val r = Rule(Atom(Var("x"), Const("livesIn"), Var("y")),
       List(Atom(Var("x"), Const("worksAt"), Var("t")),
