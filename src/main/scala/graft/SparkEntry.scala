@@ -145,6 +145,43 @@ object SparkEntry {
       |  WHERE pred = 'rdf:type'
       |    AND (obj = 'Customer' OR obj IN (SELECT child FROM clo WHERE parent = 'Customer')))""".stripMargin
 
+  // ---- link-prediction fixture (inference/linkprediction.py flow) ----
+  // Deterministic train/test split of the tpch KB: every 5th custRegion
+  // subject-hash and every 7th custNation subject-hash are held out as
+  // test facts; train is a pure FILTER of the KB (no join). Two fixed
+  // rules with fixed confidences: the sound region rule (R1) and its
+  // noisy inverse (R2 — a region determines 5 candidate nations, so
+  // ranking exercises equal-score lexicographic tie-breaks).
+  private val lpHash = "cast(conv(substring(md5(subj), 1, 8), 16, 10) as bigint)"
+  private def lpIsTest =
+    (col("pred") === "custRegion" && expr(lpHash) % 5 === 0) ||
+      (col("pred") === "custNation" && expr(lpHash) % 7 === 0)
+  private val lpRules: Seq[(Rule, Double)] = Seq(
+    RuleParser.parseRule("?x custNation ?n ?n nationRegion ?r => ?x custRegion ?r") -> 0.9,
+    RuleParser.parseRule("?x custRegion ?r ?n nationRegion ?r => ?x custNation ?n") -> 0.2)
+
+  /** SQL mirror: train/test split, per-rule joins, max aggregation. */
+  private val lpCte =
+    s"""$triplesCte,
+       |h AS (SELECT subj, pred, obj,
+       |        CAST(('0x' || substr(md5(subj), 1, 8)) AS BIGINT) AS hh FROM triples),
+       |test AS (SELECT subj, pred, obj FROM h
+       |  WHERE (pred = 'custRegion' AND hh % 5 = 0)
+       |     OR (pred = 'custNation' AND hh % 7 = 0)),
+       |train AS (SELECT subj, pred, obj FROM h
+       |  WHERE NOT (pred = 'custRegion' AND hh % 5 = 0)
+       |    AND NOT (pred = 'custNation' AND hh % 7 = 0)),
+       |p1 AS (SELECT DISTINCT a.subj AS subj, 'custRegion' AS pred, b.obj AS obj,
+       |        CAST(0.9 AS DOUBLE) AS conf
+       |  FROM train a JOIN train b ON a.obj = b.subj
+       |  WHERE a.pred = 'custNation' AND b.pred = 'nationRegion'),
+       |p2 AS (SELECT DISTINCT a.subj AS subj, 'custNation' AS pred, b.subj AS obj,
+       |        CAST(0.2 AS DOUBLE) AS conf
+       |  FROM train a JOIN train b ON a.obj = b.obj
+       |  WHERE a.pred = 'custRegion' AND b.pred = 'nationRegion'),
+       |preds AS (SELECT subj, pred, obj, max(conf) AS conf
+       |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) GROUP BY 1, 2, 3)""".stripMargin
+
   /** Flagship: the full north-star path in one call — deterministic
     * interleaved-doc corpus → KG-construction pipeline (mention detect,
     * CC canonicalization, link scoring, bucketed materialize) → AMIE-style
@@ -571,6 +608,35 @@ object SparkEntry {
       Taxonomy.histogramOnDomain(kb, "custOrderPriority", KGStats.compute(kb))
     },
 
+    // ---- inference: rule application / KG completion
+    //      (linkprediction.py flow) — fixed rules on the train split,
+    //      max-aggregated, predictions not already train facts
+    "kb_rule_predictions" -> { (s, dir) =>
+      val train = tpchTriples(s, dir).where(!lpIsTest)
+      RuleApply.newPredictions(train, lpRules)
+    },
+
+    // ---- inference: filtered-ranking link prediction — per
+    //      (direction, predicate) rank histogram of the held-out facts;
+    //      rnk 0 = target never predicted (unranked). Integer-only
+    //      output keeps the oracle hash exact; MRR/hits@k are
+    //      RuleApply.evaluate (spec'd, derivable from this histogram).
+    "kb_link_prediction" -> { (s, dir) =>
+      val kb    = tpchTriples(s, dir)
+      val train = kb.where(!lpIsTest)
+      val test  = kb.where(lpIsTest)
+      // the prediction table feeds 4 consumers (target-score + candidate
+      // branches × 2 directions) — materialize it once (at cluster scale
+      // this is the "write the predictions table, then rank against it"
+      // two-job shape)
+      val preds = RuleApply.predictions(train, lpRules).localCheckpoint()
+      RuleApply.rankedBothDirections(preds, test, kb)
+        .select(col("direction"), col("pred"),
+          coalesce(col("rank"), lit(0L)).as("rnk"))
+        .groupBy("direction", "pred", "rnk")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // ---- §2.1 dictionary: deterministic dense ids + encode round-trip
     "kb_dictionary" -> ((s, dir) => Dictionary.build(tpchTriples(s, dir))),
     "kb_encoded" -> { (s, dir) =>
@@ -882,6 +948,38 @@ object SparkEntry {
          |  WHERE pred = 'custOrderPriority' GROUP BY subj)
          |SELECT n, count(*) AS entities FROM counts
          |JOIN typed USING (entity) GROUP BY n""".stripMargin,
+    "kb_rule_predictions" ->
+      s"""$lpCte
+         |SELECT p.subj, p.pred, p.obj, p.conf FROM preds p
+         |WHERE NOT EXISTS (SELECT 1 FROM train t
+         |  WHERE t.subj = p.subj AND t.pred = p.pred AND t.obj = p.obj)""".stripMargin,
+    "kb_link_prediction" ->
+      s"""$lpCte,
+         |fc AS (SELECT p.* FROM preds p WHERE NOT EXISTS
+         |  (SELECT 1 FROM triples k
+         |   WHERE k.subj = p.subj AND k.pred = p.pred AND k.obj = p.obj)),
+         |ts AS (SELECT t.subj, t.pred, t.obj, p.conf AS tconf FROM test t
+         |  LEFT JOIN preds p
+         |    ON p.subj = t.subj AND p.pred = t.pred AND p.obj = t.obj),
+         |bt AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
+         |  JOIN fc c ON c.subj = s.subj AND c.pred = s.pred AND c.obj <> s.obj
+         |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.obj < s.obj))
+         |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
+         |tailr AS (SELECT 'tail' AS direction, s.pred,
+         |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
+         |  FROM ts s LEFT JOIN bt b
+         |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj),
+         |bh AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
+         |  JOIN fc c ON c.pred = s.pred AND c.obj = s.obj AND c.subj <> s.subj
+         |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.subj < s.subj))
+         |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
+         |headr AS (SELECT 'head' AS direction, s.pred,
+         |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
+         |  FROM ts s LEFT JOIN bh b
+         |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj)
+         |SELECT direction, pred, rnk, count(*) AS cnt
+         |FROM (SELECT * FROM tailr UNION ALL SELECT * FROM headr)
+         |GROUP BY 1, 2, 3""".stripMargin,
     "kb_dictionary" ->
       s"""$triplesCte,
          |terms AS (SELECT DISTINCT term FROM (

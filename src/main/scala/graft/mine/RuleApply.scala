@@ -1,0 +1,168 @@
+package graft.mine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.kb.{Atom, Const, KGStats, QueryBuilder, Term, Var}
+
+/**
+ * Rule application and link-prediction evaluation — the Spark-native form
+ * of the reference's downstream inference flow
+ * (inference/linkprediction.py: PyClause `RankingHandler` with the
+ * `maxplus` aggregation function, filtered head/tail rankings, MRR and
+ * hits@k over a train/filter/test triple split).
+ *
+ * Applying a Horn rule `h(x,y) ⇐ B` to a KB is the body's conjunctive
+ * query projected DISTINCT onto the head arguments: each distinct head
+ * binding becomes one predicted triple carrying the rule's confidence.
+ * Per-triple scores aggregate under `max` (noisy-max over the firing
+ * rules) or `maxplus` (the full descending confidence vector, compared
+ * lexicographically, so more firing rules win ties —
+ * linkprediction.py:11 `aggregation_function maxplus`).
+ *
+ * Scale shape: one distinct-projected join tree per rule (the body
+ * compiles through [[QueryBuilder.distinctableBindings]], so witness
+ * variables outside the head are deduplicated BEFORE the joins — a body
+ * atom used only existentially never fans the prediction set out), a
+ * single union + groupBy(subj,pred,obj) shuffle to aggregate scores, and
+ * count-based ranking joins keyed by the query side (subj,pred) /
+ * (pred,obj) — no window over global candidate lists, so a hub object
+ * with millions of candidates stays a partitioned aggregation (AQE skew
+ * split applies).
+ */
+object RuleApply {
+
+  /** Distinct predicted triples of one closed-head rule: the body's
+    * bindings projected onto the head's arguments. Head constants project
+    * as literals (instantiated-head rules); every head VARIABLE must be
+    * bound by the body (PyClause applies closed rules; an unbound head
+    * variable has no finite grounding). */
+  def applyRule(triples: DataFrame, rule: Rule,
+      stats: Option[KGStats] = None): DataFrame = {
+    val bodyVars = rule.realBody.flatMap(_.vars).map(_.name).toSet
+    val headVarNames = rule.headVars.map(_.name)
+    require(headVarNames.forall(bodyVars),
+      s"head variable(s) ${headVarNames.filterNot(bodyVars).mkString(",")} " +
+        s"not bound by the body — cannot ground ${rule.amieString}")
+    def proj(t: Term, as: String) = t match {
+      case Var(n)   => col(n).as(as)
+      case Const(v) => lit(v).as(as)
+    }
+    QueryBuilder
+      .distinctableBindings(triples, rule.body, headVarNames.toSet, stats)
+      .select(proj(rule.head.s, "subj"), proj(rule.head.p, "pred"),
+        proj(rule.head.o, "obj"))
+      .distinct()
+  }
+
+  /** All rules applied, one row per distinct predicted triple with its
+    * maxplus score vector: (subj, pred, obj, confs array<double> sorted
+    * descending). Vectors compare lexicographically — Spark's array
+    * ordering — which IS the maxplus order. */
+  def scoredPredictions(triples: DataFrame, rules: Seq[(Rule, Double)],
+      stats: Option[KGStats] = None): DataFrame = {
+    require(rules.nonEmpty, "no rules to apply")
+    rules.map { case (r, c) =>
+      applyRule(triples, r, stats).withColumn("conf", lit(c))
+    }.reduce(_.unionByName(_))
+      .groupBy("subj", "pred", "obj")
+      .agg(reverse(sort_array(collect_list(col("conf")))).as("conf"))
+  }
+
+  /** max-aggregated predictions: (subj, pred, obj, conf double). The
+    * SQL-oracle-friendly scoring (a double instead of a vector). */
+  def predictions(triples: DataFrame, rules: Seq[(Rule, Double)],
+      stats: Option[KGStats] = None): DataFrame = {
+    require(rules.nonEmpty, "no rules to apply")
+    rules.map { case (r, c) =>
+      applyRule(triples, r, stats).withColumn("conf", lit(c))
+    }.reduce(_.unionByName(_))
+      .groupBy("subj", "pred", "obj").agg(max(col("conf")).as("conf"))
+  }
+
+  /** KG-completion output: predicted triples NOT already facts of the KB
+    * they were applied to. */
+  def newPredictions(triples: DataFrame, rules: Seq[(Rule, Double)],
+      stats: Option[KGStats] = None): DataFrame =
+    predictions(triples, rules, stats)
+      .join(triples.select("subj", "pred", "obj"),
+        Seq("subj", "pred", "obj"), "left_anti")
+
+  /**
+   * Filtered rank of each test triple. `tail = true` ranks the object
+   * among predictions sharing (subj, pred); `tail = false` ranks the
+   * subject among predictions sharing (pred, obj) — PyClause's
+   * head/tail direction queries.
+   *
+   * rank = 1 + #{candidates strictly better than the target}, where
+   * better = higher score, ties broken by candidate entity <
+   * target entity (a deterministic stand-in for PyClause's random tie
+   * policy — deterministic beats unreproducible for an oracle-checked
+   * engine), and candidates that are KNOWN true triples never compete
+   * (the filtered-ranking protocol; `known` is train ∪ valid ∪ test,
+   * linkprediction.py:34-36). A target the rule set never predicted has
+   * rank NULL. `preds`'s score column may be a double (max) or a
+   * descending array (maxplus) — both compare correctly.
+   *
+   * Output: (subj, pred, obj, rank).
+   */
+  def filteredRanks(preds: DataFrame, test: DataFrame, known: DataFrame,
+      tail: Boolean): DataFrame = {
+    val entity = if (tail) "obj" else "subj"
+    val keys   = if (tail) Seq("subj", "pred") else Seq("pred", "obj")
+    val t      = test.select(col("subj"), col("pred"), col("obj"))
+    // the target's own score; NULL = never predicted (rank stays NULL:
+    // it contributes 0 to MRR/hits, the reference evaluator's behavior
+    // for an unranked test triple)
+    val scored = t.join(preds.withColumnRenamed("conf", "tconf"),
+      Seq("subj", "pred", "obj"), "left")
+    // filtered candidate pool — known true facts never compete; the
+    // target itself is excluded below by entity inequality
+    val cands = preds
+      .join(known.select("subj", "pred", "obj"),
+        Seq("subj", "pred", "obj"), "left_anti")
+      .select(keys.map(col) ++
+        Seq(col(entity).as("cand"), col("conf").as("cconf")): _*)
+    val better = scored.where(col("tconf").isNotNull)
+      .join(cands, keys)
+      .where(col("cand") =!= col(entity) &&
+        (col("cconf") > col("tconf") ||
+          (col("cconf") === col("tconf") && col("cand") < col(entity))))
+      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("nbetter"))
+    scored.join(better, Seq("subj", "pred", "obj"), "left")
+      .select(col("subj"), col("pred"), col("obj"),
+        when(col("tconf").isNotNull,
+          coalesce(col("nbetter"), lit(0L)) + 1L).as("rank"))
+  }
+
+  /** Both-direction ranks labeled `direction` ∈ {head, tail} —
+    * the evaluator's working table. */
+  def rankedBothDirections(preds: DataFrame, test: DataFrame,
+      known: DataFrame): DataFrame =
+    filteredRanks(preds, test, known, tail = true)
+      .withColumn("direction", lit("tail"))
+      .unionByName(filteredRanks(preds, test, known, tail = false)
+        .withColumn("direction", lit("head")))
+
+  /**
+   * The linkprediction.py evaluation summary: per direction, MRR and
+   * hits@1/3/10 over ALL test triples (unranked ones count in the
+   * denominator and contribute zero — Ranking.compute_scores semantics),
+   * plus ranked/total counts. Output: (direction, mrr, hits1, hits3,
+   * hits10, ranked, total).
+   */
+  def evaluate(preds: DataFrame, test: DataFrame,
+      known: DataFrame): DataFrame = {
+    def hits(k: Int) =
+      (sum(when(col("rank") <= k, 1L).otherwise(0L)) /
+        count(lit(1))).as(s"hits$k")
+    rankedBothDirections(preds, test, known)
+      .groupBy("direction")
+      .agg(
+        (coalesce(sum(lit(1.0) / col("rank")), lit(0.0)) / count(lit(1)))
+          .as("mrr"),
+        hits(1), hits(3), hits(10),
+        count(col("rank")).as("ranked"),
+        count(lit(1)).as("total"))
+  }
+}
