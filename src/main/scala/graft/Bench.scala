@@ -418,7 +418,8 @@ object Bench {
       "dedup_simhash" -> 2.5, "dedup_exact" -> 1.5,
       "dedup_simhash_clusters" -> 6.3, "sim_ivf_topk" -> 2.5,
       "kb_domain_set" -> 1.6, "kb_histogram_domain" -> 1.6,
-      "kb_rule_predictions" -> 0.9, "kb_link_prediction" -> 2.0)
+      "kb_rule_predictions" -> 0.9, "kb_link_prediction" -> 2.0,
+      "kb_link_prediction_maxplus" -> 2.2)
     val defaultFloor = 1.5
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RERUNS", "2").toInt
     val results = sweep.map { case (name, fn) =>

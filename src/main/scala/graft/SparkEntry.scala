@@ -178,9 +178,48 @@ object SparkEntry {
        |p2 AS (SELECT DISTINCT a.subj AS subj, 'custNation' AS pred, b.subj AS obj,
        |        CAST(0.2 AS DOUBLE) AS conf
        |  FROM train a JOIN train b ON a.obj = b.obj
-       |  WHERE a.pred = 'custRegion' AND b.pred = 'nationRegion'),
-       |preds AS (SELECT subj, pred, obj, max(conf) AS conf
-       |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) GROUP BY 1, 2, 3)""".stripMargin
+       |  WHERE a.pred = 'custRegion' AND b.pred = 'nationRegion')""".stripMargin
+
+  /** preds CTE: max (noisy-max double) vs maxplus (descending DOUBLE
+    * list — DuckDB lists compare lexicographically, same as Spark
+    * arrays, so ONE ranking SQL serves both aggregations). */
+  private def lpPredsCte(maxplus: Boolean) =
+    if (maxplus)
+      """preds AS (SELECT subj, pred, obj, list(conf ORDER BY conf DESC) AS conf
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) GROUP BY 1, 2, 3)""".stripMargin
+    else
+      """preds AS (SELECT subj, pred, obj, max(conf) AS conf
+        |  FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2) GROUP BY 1, 2, 3)""".stripMargin
+
+  /** The two-direction filtered-rank histogram over `preds`. */
+  private def lpRankSql(maxplus: Boolean) =
+    s"""$lpCte,
+       |${lpPredsCte(maxplus)},
+       |fc AS (SELECT p.* FROM preds p WHERE NOT EXISTS
+       |  (SELECT 1 FROM triples k
+       |   WHERE k.subj = p.subj AND k.pred = p.pred AND k.obj = p.obj)),
+       |ts AS (SELECT t.subj, t.pred, t.obj, p.conf AS tconf FROM test t
+       |  LEFT JOIN preds p
+       |    ON p.subj = t.subj AND p.pred = t.pred AND p.obj = t.obj),
+       |bt AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
+       |  JOIN fc c ON c.subj = s.subj AND c.pred = s.pred AND c.obj <> s.obj
+       |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.obj < s.obj))
+       |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
+       |tailr AS (SELECT 'tail' AS direction, s.pred,
+       |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
+       |  FROM ts s LEFT JOIN bt b
+       |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj),
+       |bh AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
+       |  JOIN fc c ON c.pred = s.pred AND c.obj = s.obj AND c.subj <> s.subj
+       |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.subj < s.subj))
+       |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
+       |headr AS (SELECT 'head' AS direction, s.pred,
+       |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
+       |  FROM ts s LEFT JOIN bh b
+       |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj)
+       |SELECT direction, pred, rnk, count(*) AS cnt
+       |FROM (SELECT * FROM tailr UNION ALL SELECT * FROM headr)
+       |GROUP BY 1, 2, 3""".stripMargin
 
   /** Flagship: the full north-star path in one call — deterministic
     * interleaved-doc corpus → KG-construction pipeline (mention detect,
@@ -637,6 +676,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"))
     },
 
+    // ---- inference: the same ranking under maxplus (linkprediction.py's
+    //      default aggregation) — scores are descending confidence
+    //      VECTORS compared lexicographically, so a triple backed by
+    //      more rules outranks an equal-max single-rule one. Oracled:
+    //      DuckDB lists compare lexicographically too.
+    "kb_link_prediction_maxplus" -> { (s, dir) =>
+      val kb    = tpchTriples(s, dir)
+      val train = kb.where(!lpIsTest)
+      val test  = kb.where(lpIsTest)
+      val preds = RuleApply.scoredPredictions(train, lpRules).localCheckpoint()
+      RuleApply.rankedBothDirections(preds, test, kb)
+        .select(col("direction"), col("pred"),
+          coalesce(col("rank"), lit(0L)).as("rnk"))
+        .groupBy("direction", "pred", "rnk")
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // ---- §2.1 dictionary: deterministic dense ids + encode round-trip
     "kb_dictionary" -> ((s, dir) => Dictionary.build(tpchTriples(s, dir))),
     "kb_encoded" -> { (s, dir) =>
@@ -949,37 +1005,13 @@ object SparkEntry {
          |SELECT n, count(*) AS entities FROM counts
          |JOIN typed USING (entity) GROUP BY n""".stripMargin,
     "kb_rule_predictions" ->
-      s"""$lpCte
+      s"""$lpCte,
+         |${lpPredsCte(maxplus = false)}
          |SELECT p.subj, p.pred, p.obj, p.conf FROM preds p
          |WHERE NOT EXISTS (SELECT 1 FROM train t
          |  WHERE t.subj = p.subj AND t.pred = p.pred AND t.obj = p.obj)""".stripMargin,
-    "kb_link_prediction" ->
-      s"""$lpCte,
-         |fc AS (SELECT p.* FROM preds p WHERE NOT EXISTS
-         |  (SELECT 1 FROM triples k
-         |   WHERE k.subj = p.subj AND k.pred = p.pred AND k.obj = p.obj)),
-         |ts AS (SELECT t.subj, t.pred, t.obj, p.conf AS tconf FROM test t
-         |  LEFT JOIN preds p
-         |    ON p.subj = t.subj AND p.pred = t.pred AND p.obj = t.obj),
-         |bt AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
-         |  JOIN fc c ON c.subj = s.subj AND c.pred = s.pred AND c.obj <> s.obj
-         |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.obj < s.obj))
-         |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
-         |tailr AS (SELECT 'tail' AS direction, s.pred,
-         |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
-         |  FROM ts s LEFT JOIN bt b
-         |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj),
-         |bh AS (SELECT s.subj, s.pred, s.obj, count(*) AS nb FROM ts s
-         |  JOIN fc c ON c.pred = s.pred AND c.obj = s.obj AND c.subj <> s.subj
-         |    AND (c.conf > s.tconf OR (c.conf = s.tconf AND c.subj < s.subj))
-         |  WHERE s.tconf IS NOT NULL GROUP BY 1, 2, 3),
-         |headr AS (SELECT 'head' AS direction, s.pred,
-         |    CASE WHEN s.tconf IS NULL THEN 0 ELSE coalesce(b.nb, 0) + 1 END AS rnk
-         |  FROM ts s LEFT JOIN bh b
-         |    ON b.subj = s.subj AND b.pred = s.pred AND b.obj = s.obj)
-         |SELECT direction, pred, rnk, count(*) AS cnt
-         |FROM (SELECT * FROM tailr UNION ALL SELECT * FROM headr)
-         |GROUP BY 1, 2, 3""".stripMargin,
+    "kb_link_prediction" -> lpRankSql(maxplus = false),
+    "kb_link_prediction_maxplus" -> lpRankSql(maxplus = true),
     "kb_dictionary" ->
       s"""$triplesCte,
          |terms AS (SELECT DISTINCT term FROM (
