@@ -24,14 +24,19 @@ object Dedup {
   import TextOps.{P, tokHash32}
 
   /** Exact dedup: every doc mapped to the smallest doc_id sharing its
-    * exact text. keeper == doc_id ⇔ the doc survives dedup. */
-  def exact(docs: DataFrame): DataFrame = {
-    val keepers = docs.groupBy(md5(col("text")).as("h"))
-      .agg(min(col("doc_id")).as("keeper"))
+    * exact text. keeper == doc_id ⇔ the doc survives dedup.
+    *
+    * Shape: md5 is projected ONCE per row (the text scan + hash is the
+    * dominant cost on a 100-TB corpus) and the group minimum rides a
+    * window over the hash — one shuffle of (doc_id, h) total, vs the
+    * aggregate-then-join form's two shuffles and two full text scans.
+    * Window partitions are duplicate groups, bounded by dup multiplicity,
+    * never by corpus size. */
+  def exact(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(keepers, "h")
+      .withColumn("keeper", min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .select(col("doc_id"), col("keeper"))
-  }
 
   /** Distinct word-bigram shingles per doc (with the blocking column). */
   private def shingles(docs: DataFrame): DataFrame =

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 import graft.Sessions
 import graft.mine.{Rule, RuleApply, RuleParser}
@@ -33,7 +34,10 @@ object LinkPredictCLI {
       |  -ifmt <f>        fact format: tsv|nt|ttl|parquet (default sniffed)
       |  -cm std|pca      confidence column to score with (default pca)
       |  -agg max|maxplus score aggregation (default maxplus)
-      |  -o <path>        also write new predicted triples as TSV
+      |  -o <path>        also write new predicted triples (not in train) as
+      |                   TSV subj/pred/obj/conf; conf is the max over the
+      |                   firing rules (under -agg maxplus: the head of the
+      |                   descending score vector — the same max)
       |  -cores <n>       local-mode core count when not under spark-submit
       |""".stripMargin
 
@@ -67,7 +71,16 @@ object LinkPredictCLI {
         go(t, a.copy(rulesFile = p))
       case other :: _ => sys.error(s"unknown argument: $other\n$usage")
     }
-    val a = go(argv.toList, Args())
+    val a0 = go(argv.toList, Args())
+    // with -train/-test overriding the whole split, data_path is moot and a
+    // single positional IS the rules file (ADVICE r4: the first positional
+    // otherwise lands in dataPath and the rulesFile require fails even
+    // though the usage text says overrides replace the split dir)
+    val a =
+      if (a0.rulesFile.isEmpty && a0.dataPath.nonEmpty &&
+          a0.train.nonEmpty && a0.test.nonEmpty)
+        a0.copy(dataPath = "", rulesFile = a0.dataPath)
+      else a0
     require(a.rulesFile.nonEmpty &&
       (a.dataPath.nonEmpty || (a.train.nonEmpty && a.test.nonEmpty)), usage)
     require(Set("std", "pca")(a.cm), s"-cm must be std|pca\n$usage")
@@ -82,20 +95,26 @@ object LinkPredictCLI {
     val lines = spark.read.textFile(path).collect().toSeq
       .map(_.trim).filter(_.nonEmpty)
     require(lines.nonEmpty, s"no rules in $path")
-    val header = lines.head.split("\t").map(_.trim)
-    if (header.contains("Rule")) {
-      val ri = header.indexOf("Rule")
-      val ci = header.indexOf(
-        if (cm == "std") "StdConfidence" else "PcaConfidence")
-      require(ci >= 0, s"no ${cm}Confidence column in $path header")
-      lines.tail.map { l =>
+    // a multi-part Spark CSV dir repeats the header once PER PART FILE and
+    // part order is not guaranteed (ADVICE r4) — detect the header ANYWHERE
+    // and drop every duplicate of it before parsing
+    val headerLine = lines.find(_.split("\t").map(_.trim).contains("Rule"))
+    headerLine match {
+      case Some(hl) =>
+        val header = hl.split("\t").map(_.trim)
+        val ri = header.indexOf("Rule")
+        val ci = header.indexOf(
+          if (cm == "std") "StdConfidence" else "PcaConfidence")
+        require(ci >= 0, s"no ${cm}Confidence column in $path header")
+        lines.filterNot(_ == hl).map { l =>
+          val f = l.split("\t")
+          RuleParser.parseRule(f(ri)) -> f(ci).toDouble
+        }
+      case None => lines.map { l =>
         val f = l.split("\t")
-        RuleParser.parseRule(f(ri)) -> f(ci).toDouble
+        RuleParser.parseRule(f(0)) ->
+          (if (f.length > 1) f(1).toDouble else 1.0)
       }
-    } else lines.map { l =>
-      val f = l.split("\t")
-      RuleParser.parseRule(f(0)) ->
-        (if (f.length > 1) f(1).toDouble else 1.0)
     }
   }
 
@@ -108,12 +127,25 @@ object LinkPredictCLI {
       Seq(train, FactInput.load(spark, a.validPath, a.ifmt), test)
     else Seq(train, test)).reduce(_.unionByName(_))
     val rules = loadRules(spark, a.rulesFile, a.cm)
+    // rule application is the expensive stage and the table feeds up to 5
+    // consumers (target-score + candidate branches × 2 directions + the -o
+    // dump) — materialize it once
     val preds =
-      if (a.agg == "maxplus") RuleApply.scoredPredictions(train, rules)
-      else RuleApply.predictions(train, rules)
-    if (a.output.nonEmpty)
-      RuleApply.newPredictions(train, rules)
+      (if (a.agg == "maxplus") RuleApply.scoredPredictions(train, rules)
+       else RuleApply.predictions(train, rules)).localCheckpoint()
+    if (a.output.nonEmpty) {
+      // derived from the SAME preds frame (ADVICE r4: recomputing via
+      // newPredictions doubled the most expensive stage and, under
+      // maxplus, silently dumped max-aggregated confidences); the dumped
+      // conf is the max over firing rules in both modes — for maxplus
+      // that is the head of the descending vector
+      val conf1 =
+        if (a.agg == "maxplus") col("conf").getItem(0) else col("conf")
+      preds.join(train.select("subj", "pred", "obj"),
+          Seq("subj", "pred", "obj"), "left_anti")
+        .select(col("subj"), col("pred"), col("obj"), conf1.as("conf"))
         .write.mode("overwrite").option("sep", "\t").csv(a.output)
+    }
     RuleApply.evaluate(preds, test, known)
   }
 

@@ -178,6 +178,72 @@ class RuleApplySpec extends AnyFunSuite {
     assert(plain.head._2 == 0.75)
   }
 
+  test("LinkPredictCLI: -train/-test overrides make the single positional the rules file (ADVICE r4)") {
+    import graft.tools.LinkPredictCLI
+    val a = LinkPredictCLI.parse(Seq(
+      "/tmp/rules.tsv", "-train", "/tmp/tr.tsv", "-test", "/tmp/te.tsv"))
+    assert(a.rulesFile == "/tmp/rules.tsv" && a.dataPath.isEmpty)
+    assert(a.trainPath == "/tmp/tr.tsv" && a.testPath == "/tmp/te.tsv")
+    // option order must not matter
+    val b = LinkPredictCLI.parse(Seq(
+      "-train", "/tmp/tr.tsv", "-test", "/tmp/te.tsv", "/tmp/rules.tsv"))
+    assert(b.rulesFile == "/tmp/rules.tsv" && b.dataPath.isEmpty)
+    // two positionals still bind (data_path, rules_file) in order
+    val c = LinkPredictCLI.parse(Seq("/data", "/tmp/rules.tsv"))
+    assert(c.dataPath == "/data" && c.rulesFile == "/tmp/rules.tsv")
+  }
+
+  test("LinkPredictCLI: loadRules survives per-part repeated headers in any position (ADVICE r4)") {
+    import graft.tools.LinkPredictCLI
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp-hdr").toString
+    // simulate a multi-part Spark CSV rules dir: two part files, each with
+    // its own header, and partition order putting a DATA line first
+    def part(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name")
+      lines.foreach(w.println); w.close()
+    }
+    val header = "Rule\tStdConfidence\tPcaConfidence"
+    new java.io.File(dir, "rulesdir").mkdir()
+    part("rulesdir/part-00000",
+      Seq(header, "?x worksAt ?t ?t locatedIn ?c => ?x livesIn ?c\t0.8\t0.9"))
+    part("rulesdir/part-00001",
+      Seq(header, "?x bornIn ?c => ?x livesIn ?c\t0.3\t0.4"))
+    val rules = LinkPredictCLI.loadRules(spark, s"$dir/rulesdir", "pca")
+    assert(rules.size == 2, s"stray headers must be dropped: $rules")
+    assert(rules.map(_._2).toSet == Set(0.9, 0.4))
+    val std = LinkPredictCLI.loadRules(spark, s"$dir/rulesdir", "std")
+    assert(std.map(_._2).toSet == Set(0.8, 0.3))
+  }
+
+  test("LinkPredictCLI: -o dump derives from preds — maxplus dumps the max, only non-train rows (ADVICE r4)") {
+    import graft.tools.LinkPredictCLI
+    val dir = java.nio.file.Files.createTempDirectory("graft-lp-out").toString
+    def writeTsv(name: String, rows: Seq[(String, String, String)]): Unit = {
+      val w = new java.io.PrintWriter(s"$dir/$name")
+      rows.foreach { case (s, p, o) => w.println(s"$s\t$p\t$o") }
+      w.close()
+    }
+    // ada is predicted by BOTH rules (vector [0.9, 0.4]) and is NOT a
+    // train fact; bob's prediction IS a train fact → excluded from -o
+    writeTsv("train.tsv", Seq(
+      ("ada", "worksAt", "acme"), ("acme", "locatedIn", "paris"),
+      ("ada", "bornIn", "paris"),
+      ("bob", "bornIn", "tokyo"), ("bob", "livesIn", "tokyo")))
+    writeTsv("test.tsv", Seq(("ada", "livesIn", "paris")))
+    val w = new java.io.PrintWriter(s"$dir/rules.txt")
+    w.println("?x worksAt ?t ?t locatedIn ?c => ?x livesIn ?c\t0.9")
+    w.println("?x bornIn ?c => ?x livesIn ?c\t0.4")
+    w.close()
+    val out = s"$dir/preds_out"
+    LinkPredictCLI.run(spark, LinkPredictCLI.parse(Seq(
+      s"$dir/rules.txt", "-train", s"$dir/train.tsv", "-test", s"$dir/test.tsv",
+      "-valid", "", "-agg", "maxplus", "-o", out))).collect()
+    val dumped = spark.read.option("sep", "\t").csv(out).collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3).toDouble)).toSet
+    assert(dumped == Set(("ada", "paris", 0.9)),
+      s"maxplus -o must dump the vector max for non-train predictions only: $dumped")
+  }
+
   test("mine → apply → evaluate closes the loop: held-out facts recovered at rank 1") {
     import spark.implicits._
     // Planted sound rule livesIn(x,c) ⇐ worksAt(x,t) ∧ locatedIn(t,c):
