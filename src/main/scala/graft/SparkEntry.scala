@@ -634,17 +634,42 @@ object SparkEntry {
     },
 
     // ---- §2.11 schema: getDomainSet (Schema.java:608-621) — declared
-    //      domain-class instances (subclass closure) ∪ observed subjects.
-    //      The KB types only ⅔ of customers, so both branches contribute.
+    //      domain-class instances ∪ observed subjects, here with the
+    //      subclass-ENTAILED type scan (the deliberate closure superset;
+    //      see Taxonomy.domainSet's subclassClosure note). The KB types
+    //      only ⅔ of customers, so both branches contribute, and
+    //      BUILDING customers are typed through a subclass so the
+    //      closure matters.
     "kb_domain_set" -> ((s, dir) =>
+      Taxonomy.domainSet(schemaKb(s, dir), "custOrderPriority",
+        subclassClosure = true)),
+
+    // ---- §2.11 schema: getDomainSet at exact reference parity —
+    //      getAllEntitiesForType is a DIRECT rdf:type lookup
+    //      (Schema.java:575-585, no closure), so BUILDING-subclass-typed
+    //      customers enter only through the observed-subject branch here
+    "kb_domain_set_direct" -> ((s, dir) =>
       Taxonomy.domainSet(schemaKb(s, dir), "custOrderPriority")),
+
+    // ---- §2.2 INLINE transitiveType meta-atom (KB.java:929-944
+    //      TRANSITIVETYPEbs placement freedom): urgent-priority
+    //      customers typed Customer directly OR through a subclass —
+    //      the transitiveType atom rides inside the conjunction
+    "kb_transitive_type_inline" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(schemaKb(s, dir), Seq(Var("c")),
+        Seq(Atom(Var("c"), Const("custOrderPriority"), Const("1-URGENT")),
+          Atom(Var("c"), Const(Atom.TransitiveType), Const("Customer"))))
+        .select(col("c").as("cust"))
+    },
 
     // ---- §2.11 schema: getHistogramOnDomain (Schema.java:742-779) —
     //      facts-per-entity distribution on the relation's functional
-    //      side, restricted to declared-domain-typed entities
+    //      side, restricted to declared-domain-typed entities (entailed
+    //      type scan, matching kb_domain_set above)
     "kb_histogram_domain" -> { (s, dir) =>
       val kb = schemaKb(s, dir)
-      Taxonomy.histogramOnDomain(kb, "custOrderPriority", KGStats.compute(kb))
+      Taxonomy.histogramOnDomain(kb, "custOrderPriority", KGStats.compute(kb),
+        subclassClosure = true)
     },
 
     // ---- inference: rule application / KG completion
@@ -997,6 +1022,17 @@ object SparkEntry {
          |SELECT entity FROM typed
          |UNION
          |SELECT DISTINCT subj FROM kb WHERE pred = 'custOrderPriority'""".stripMargin,
+    "kb_domain_set_direct" ->
+      s"""$schemaKbCte
+         |SELECT DISTINCT subj AS entity FROM kb
+         |WHERE pred = 'rdf:type' AND obj = 'Customer'
+         |UNION
+         |SELECT DISTINCT subj FROM kb WHERE pred = 'custOrderPriority'""".stripMargin,
+    "kb_transitive_type_inline" ->
+      s"""$schemaKbCte
+         |SELECT DISTINCT subj AS cust FROM kb
+         |WHERE pred = 'custOrderPriority' AND obj = '1-URGENT'
+         |  AND subj IN (SELECT entity FROM typed)""".stripMargin,
     "kb_histogram_domain" ->
       s"""$schemaKbCte,
          |counts AS (

@@ -250,6 +250,10 @@ object QueryBuilder {
    * [[MetaGateCol]] single-row gate when the atom is fully ground.
    */
   private[graft] def metaDF(triples: DataFrame, a: Atom): DataFrame = a.p match {
+    case Const(Atom.TransitiveType) =>
+      projectMeta(transitiveTypePairs(triples),
+        Seq(a.s -> "__ent", a.o -> "__cls"))
+
     case Const(p) if Atom.ExistsFamily.contains(p) =>
       val inverse = p == Atom.ExistsInv || p == Atom.NotExistsInv
       val negated = p == Atom.NotExists || p == Atom.NotExistsInv
@@ -299,6 +303,48 @@ object QueryBuilder {
       }
       projectMeta(base, Seq(a.s -> "__ent"))
   }
+
+  /**
+   * Entailed (entity, class) table backing inline `transitiveType`
+   * atoms: every (e, C) with C a DIRECT `rdf:type` class of e or any
+   * transitive `rdfs:subClassOf` ancestor of one — the reference's
+   * getAllTypesForEntity image (Schema.java:518-525) and exactly the
+   * pos1=0 two-variable table of KB.java:1211-1216.
+   *
+   * DIVERGENCE NOTE (deliberate): the reference's three transitiveType
+   * branches disagree with each other — `transitiveType(?x, C)` with C
+   * constant enumerates entities of STRICT subclasses only
+   * (KB.java:935, getAllSubTypes excludes C itself, Schema.java:665-691)
+   * while the both-variable table (KB.java:1211-1216) and the
+   * materialized combinator (Schema.java:341-350) include direct
+   * instances of C. A declarative engine needs ONE semantics for the
+   * atom regardless of which terms are bound, so this table is it:
+   * direct instances included, matching [[Taxonomy.transitiveInstances]]
+   * and standard RDFS entailment. Schema relation names are the
+   * engine-wide defaults [[Atom.TypeRelation]]/[[Atom.SubClassRelation]]
+   * carried inline in the KB (as in the reference's schema-enabled KBs).
+   *
+   * The subclass closure's driver loop runs ONCE per KB DataFrame (the
+   * pair table is memoized per analyzed plan, weakly — dropped with the
+   * DataFrame); the pair table itself stays LAZY, so per-query it is one
+   * more derived binding table, not a materialization of
+   * |entities| × |types| rows.
+   */
+  private val typePairsCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, DataFrame]())
+
+  private def transitiveTypePairs(triples: DataFrame): DataFrame =
+    typePairsCache.computeIfAbsent(triples.queryExecution.analyzed, _ => {
+      val types = triples.filter(col("pred") === Atom.TypeRelation)
+        .select(col("subj").as("__ent"), col("obj").as("__cls"))
+      val edges = triples.filter(col("pred") === Atom.SubClassRelation)
+        .select(col("subj"), col("obj"))
+      val closure = Taxonomy.transitiveClosure(edges) // (child, parent)
+      val up = types.join(closure.withColumnRenamed("child", "__cls"), "__cls")
+        .select(col("__ent"), col("parent").as("__cls"))
+      types.union(up).distinct()
+    })
 
   /** Bind a derived table's internal columns to the atom's terms:
     * constants filter, variables rename, a variable repeated across

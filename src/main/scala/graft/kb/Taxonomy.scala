@@ -113,31 +113,42 @@ object Taxonomy {
   }
 
   /** Schema.getDomainSet(KB, relation) parity (Schema.java:608-621):
-    * all entities of the relation's DECLARED domain class — subclass
-    * closure included, getAllEntitiesForType semantics
-    * (Schema.java:575-585) — unioned with the subjects actually observed
-    * for the relation. `kb` carries its schema facts (`rdf:type`,
-    * `rdfs:subClassOf`, `rdfs:domain`, `rdfs:range`, `rdfs:subPropertyOf`)
-    * inline alongside the data facts, like the reference's schema-enabled
-    * KBs. No declared domain ⇒ the observed subjects alone
-    * (Schema.java:616-617 skips the type scan). One column: `entity`. */
+    * all entities of the relation's DECLARED domain class unioned with
+    * the subjects actually observed for the relation. `kb` carries its
+    * schema facts (`rdf:type`, `rdfs:subClassOf`, `rdfs:domain`,
+    * `rdfs:range`, `rdfs:subPropertyOf`) inline alongside the data
+    * facts, like the reference's schema-enabled KBs. No declared domain
+    * ⇒ the observed subjects alone (Schema.java:616-617 skips the type
+    * scan). One column: `entity`.
+    *
+    * `subclassClosure`: the reference's getAllEntitiesForType
+    * (Schema.java:575-585) is a DIRECT `rdf:type` lookup — no subclass
+    * closure — so `false` (the default) is exact parity. `true` widens
+    * the type scan to instances of subclasses of the declared class
+    * (the [[transitiveInstances]] entailment) — the deliberate superset
+    * a KB WITHOUT materialized type closure usually wants (ADVICE r4:
+    * the two semantics differ exactly on entities typed only through a
+    * subclass). */
   def domainSet(kb: DataFrame, relation: String,
       typeRelation: String = "rdf:type",
-      subClassRelation: String = "rdfs:subClassOf"): DataFrame =
+      subClassRelation: String = "rdfs:subClassOf",
+      subclassClosure: Boolean = false): DataFrame =
     signatureSet(kb, relation, "subj", wantDomain = true,
-      typeRelation, subClassRelation)
+      typeRelation, subClassRelation, subclassClosure)
 
   /** Schema.getRangeSet mirror (Schema.java:695-712): declared range
-    * class instances ∪ observed objects. */
+    * class instances ∪ observed objects. Same `subclassClosure` contract
+    * as [[domainSet]]. */
   def rangeSet(kb: DataFrame, relation: String,
       typeRelation: String = "rdf:type",
-      subClassRelation: String = "rdfs:subClassOf"): DataFrame =
+      subClassRelation: String = "rdfs:subClassOf",
+      subclassClosure: Boolean = false): DataFrame =
     signatureSet(kb, relation, "obj", wantDomain = false,
-      typeRelation, subClassRelation)
+      typeRelation, subClassRelation, subclassClosure)
 
   private def signatureSet(kb: DataFrame, relation: String, pos: String,
       wantDomain: Boolean, typeRelation: String,
-      subClassRelation: String): DataFrame = {
+      subClassRelation: String, subclassClosure: Boolean): DataFrame = {
     val (doms, rngs) = relationSignatures(kb)
     val observed = kb.where(col("pred") === relation)
       .select(col(pos).as("entity")).distinct()
@@ -146,9 +157,14 @@ object Taxonomy {
       case Some(cls) =>
         val types = kb.where(col("pred") === typeRelation)
           .select(col("subj"), col("obj"))
-        val subs = kb.where(col("pred") === subClassRelation)
-          .select(col("subj"), col("obj"))
-        transitiveInstances(types, subs, cls).union(observed).distinct()
+        val typed =
+          if (subclassClosure) {
+            val subs = kb.where(col("pred") === subClassRelation)
+              .select(col("subj"), col("obj"))
+            transitiveInstances(types, subs, cls)
+          } else types.where(col("obj") === cls)
+            .select(col("subj").as("entity")).distinct()
+        typed.union(observed).distinct()
     }
   }
 
@@ -156,7 +172,9 @@ object Taxonomy {
    * Schema.getHistogramOnDomain parity (Schema.java:742-779): the
    * distribution of facts-per-entity of `relation`, measured on its more
    * functional side and restricted to entities of the matching declared
-   * type — subclass closure included. A functional relation
+   * type — `subclassClosure` as in [[domainSet]] (default false = the
+   * reference's direct getAllEntitiesForType lookup, Schema.java:575-585;
+   * true = the subclass-entailed superset). A functional relation
    * (functionality ≥ inverse functionality, the reference's
    * KB.isFunctional) counts facts per SUBJECT against the declared
    * `rdfs:domain` class; otherwise per OBJECT against the declared
@@ -172,7 +190,8 @@ object Taxonomy {
    */
   def histogramOnDomain(kb: DataFrame, relation: String, stats: KGStats,
       typeRelation: String = "rdf:type",
-      subClassRelation: String = "rdfs:subClassOf"): DataFrame = {
+      subClassRelation: String = "rdfs:subClassOf",
+      subclassClosure: Boolean = false): DataFrame = {
     val functional =
       stats.functionality(relation) >= stats.inverseFunctionality(relation)
     val keyPos = if (functional) "subj" else "obj"
@@ -183,9 +202,13 @@ object Taxonomy {
       case Some(cls) =>
         val types = kb.where(col("pred") === typeRelation)
           .select(col("subj"), col("obj"))
-        val subs = kb.where(col("pred") === subClassRelation)
-          .select(col("subj"), col("obj"))
-        val typed = transitiveInstances(types, subs, cls)
+        val typed =
+          if (subclassClosure) {
+            val subs = kb.where(col("pred") === subClassRelation)
+              .select(col("subj"), col("obj"))
+            transitiveInstances(types, subs, cls)
+          } else types.where(col("obj") === cls)
+            .select(col("subj").as("entity")).distinct()
         kb.where(col("pred") === relation)
           .groupBy(col(keyPos).as("entity")).agg(count(lit(1)).as("n"))
           .join(typed, "entity")

@@ -36,7 +36,8 @@ final case class Atom(s: Term, p: Term, o: Term) {
     * triples scan. Pseudo-atoms (pure filters) are NOT meta. */
   def isMeta: Boolean = p match {
     case Const(p0) =>
-      Atom.ExistsFamily.contains(p0) || Atom.cardinalityMeta(p0).isDefined
+      Atom.ExistsFamily.contains(p0) || p0 == Atom.TransitiveType ||
+        Atom.cardinalityMeta(p0).isDefined
     case _ => false
   }
   override def toString: String = {
@@ -57,6 +58,17 @@ object Atom {
   /** `~existsInv(r, X)` ⇔ ¬∃y r(y, X) — AbstractKB.java:127. */
   val NotExistsInv = "~existsInv"
   val ExistsFamily: Set[String] = Set(Exists, ExistsInv, NotExists, NotExistsInv)
+
+  /** `transitiveType(x, C)` ⇔ x has a direct rdf:type that is C or a
+    * strict subclass of C (KB.java:929-944,1207-1230 TRANSITIVETYPEbs
+    * branches). Lowered by [[QueryBuilder.metaDF]] to a join against the
+    * entailed (entity, class) table — see the divergence note there. */
+  val TransitiveType = "transitiveType"
+  /** Engine-wide default schema relations consumed by the transitiveType
+    * lowering (the reference's Schema.typeRelation/subClassRelation
+    * defaults, Schema.java:100-118). */
+  val TypeRelation     = "rdf:type"
+  val SubClassRelation = "rdfs:subClassOf"
 
   /** Parsed composite cardinality relation, e.g.
     * `hasNumberOfValuesGreaterThan2` (Schema.java:158-161,172-196:

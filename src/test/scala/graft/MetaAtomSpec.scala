@@ -116,6 +116,58 @@ class MetaAtomSpec extends AnyFunSuite {
       "x") == Set.empty[Seq[String]])
   }
 
+  // ---- inline transitiveType (KB.java:929-944,1207-1230) ----
+  // schema-annotated KB: Engineer ⊑ Staff ⊑ Person; a1 typed Engineer,
+  // a2 typed Staff, a3 typed Visitor; worksAt a1→c1, a2→c1, a3→c2
+  private lazy val typedKb = {
+    import spark.implicits._
+    Seq(
+      ("a1", "rdf:type", "Engineer"), ("a2", "rdf:type", "Staff"),
+      ("a3", "rdf:type", "Visitor"),
+      ("Engineer", "rdfs:subClassOf", "Staff"),
+      ("Staff", "rdfs:subClassOf", "Person"),
+      ("a1", "worksAt", "c1"), ("a2", "worksAt", "c1"), ("a3", "worksAt", "c2")
+    ).toDF("subj", "pred", "obj")
+  }
+  private def typedSet(q: String, vs: String*): Set[Seq[String]] =
+    QueryBuilder.selectDistinct(typedKb, vs.map(Var(_)), RuleParser.parseAtoms(q))
+      .collect().map(r => vs.indices.map(r.getString)).toSet
+
+  test("inline transitiveType, class constant: direct + subclass instances") {
+    // Staff: a2 direct, a1 via Engineer ⊑ Staff (direct instances INCLUDED
+    // — the consistent entailment semantics; see QueryBuilder divergence note)
+    assert(typedSet("?x transitiveType Staff", "x") == Set(Seq("a1"), Seq("a2")))
+    assert(typedSet("?x transitiveType Person", "x") == Set(Seq("a1"), Seq("a2")))
+    assert(typedSet("?x transitiveType Visitor", "x") == Set(Seq("a3")))
+    assert(typedSet("?x transitiveType Nothing", "x") == Set.empty[Seq[String]])
+  }
+
+  test("inline transitiveType, entity constant: all entailed classes (Schema.java:518-525)") {
+    assert(typedSet("a1 transitiveType ?c", "c") ==
+      Set(Seq("Engineer"), Seq("Staff"), Seq("Person")))
+    assert(typedSet("a3 transitiveType ?c", "c") == Set(Seq("Visitor")))
+  }
+
+  test("inline transitiveType, both variables: the full entailed pair table (KB.java:1211-1216)") {
+    assert(typedSet("?x transitiveType ?c", "x", "c") == Set(
+      Seq("a1", "Engineer"), Seq("a1", "Staff"), Seq("a1", "Person"),
+      Seq("a2", "Staff"), Seq("a2", "Person"), Seq("a3", "Visitor")))
+  }
+
+  test("inline transitiveType composes inside a conjunction at any position") {
+    // companies employing someone entailed-typed Staff
+    assert(typedSet("?x worksAt ?c ?x transitiveType Staff", "c") ==
+      Set(Seq("c1")))
+    // meta atom FIRST — placement freedom
+    assert(typedSet("?x transitiveType Person ?x worksAt ?c", "c") ==
+      Set(Seq("c1")))
+    // fully-ground: TRUE gate keeps bindings, FALSE gate empties
+    assert(typedSet("?x worksAt ?c a1 transitiveType Person", "c") ==
+      Set(Seq("c1"), Seq("c2")))
+    assert(typedSet("?x worksAt ?c a3 transitiveType Person", "c") ==
+      Set.empty[Seq[String]])
+  }
+
   test("meta atoms compose with pseudo-atoms and constants") {
     // pairs of colleagues at a company with a capital fact, distinct people
     val got = distinctSet(

@@ -70,10 +70,24 @@ class MiscOpsSpec extends AnyFunSuite {
       ("Employee", "rdfs:subClassOf", "Person"),
       ("owns", "rdfs:domain", "Person"), ("owns", "rdfs:range", "Thing"),
       ("likes", "rdf:type", "rdf:Property")).toDF("subj", "pred", "obj")
-    val dom = Taxonomy.domainSet(kb, "owns").collect().map(_.getString(0)).toSet
+    // subclassClosure = true: the entailed superset — Staff/Employee-typed
+    // p2, p4 enter through the closure
+    val dom = Taxonomy.domainSet(kb, "owns", subclassClosure = true)
+      .collect().map(_.getString(0)).toSet
     assert(dom == Set("p1", "p2", "p3", "p4")) // typed closure ∪ subjects, no u1
-    val rng = Taxonomy.rangeSet(kb, "owns").collect().map(_.getString(0)).toSet
+    // default = reference parity (getAllEntitiesForType is a DIRECT
+    // rdf:type lookup, Schema.java:575-585): p4 (typed only via the
+    // Employee subclass, never observed) drops; p2 stays via the
+    // observed-subject branch only
+    val domDirect = Taxonomy.domainSet(kb, "owns")
+      .collect().map(_.getString(0)).toSet
+    assert(domDirect == Set("p1", "p2", "p3"))
+    val rng = Taxonomy.rangeSet(kb, "owns", subclassClosure = true)
+      .collect().map(_.getString(0)).toSet
     assert(rng == Set("car1", "car2", "t9"))
+    // range has no subclass-only-typed entity → direct equals closure here
+    assert(Taxonomy.rangeSet(kb, "owns").collect().map(_.getString(0)).toSet
+      == rng)
     // no declared domain → observed subjects only (Schema.java:616-617)
     val noDecl = Taxonomy.domainSet(kb, "likes").collect().map(_.getString(0)).toSet
     assert(noDecl == Set.empty)
@@ -95,10 +109,16 @@ class MiscOpsSpec extends AnyFunSuite {
     val stats = KGStats.compute(kb)
     // 4 distinct subjects / 7 facts vs 3 distinct objects / 7 facts
     assert(stats.functionality("speaks") >= stats.inverseFunctionality("speaks"))
-    val hist = Taxonomy.histogramOnDomain(kb, "speaks", stats)
+    val hist = Taxonomy.histogramOnDomain(kb, "speaks", stats,
+        subclassClosure = true)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // p1: 3 facts, p2: 1, p4: 1 — p3 untyped drops out
     assert(hist == Map(3L -> 1L, 1L -> 2L))
+    // default = direct type lookup (reference parity): Staff-typed p2
+    // drops too — only directly-Person-typed p1, p4 count
+    val histDirect = Taxonomy.histogramOnDomain(kb, "speaks", stats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(histDirect == Map(3L -> 1L, 1L -> 1L))
     // no declared class → empty histogram (Schema.java:753-755)
     assert(Taxonomy.histogramOnDomain(kb, "rdf:type", stats).count() == 0)
   }
