@@ -428,6 +428,18 @@ object SparkEntry {
         .select(col("n").as("nation"))
     },
 
+    // ---- §2.3 connected-subgraph existential rewrite
+    //      (KB.java:3026-3058): nations+customers where the customer has
+    //      an urgent order — the 2-atom witness chain orderCust(o,c) ∧
+    //      orderPriority(o,URGENT) hangs off c through the single
+    //      articulation variable and is collapsed to a semi-join BEFORE
+    //      the join (PlanSpec asserts the shape; this entry oracles it)
+    "kb_witness_subgraph" -> { (s, dir) =>
+      QueryBuilder.selectDistinct(tpchTriples(s, dir), Seq(Var("c"), Var("n")),
+        Seq(custNat, ordCust, urgent), Some(tpchStats(s, dir)))
+        .select(col("c").as("cust"), col("n").as("nation"))
+    },
+
     // ---- §2.2 differentFrom pseudo-atom: supplier pairs in one nation
     "kb_different_from" -> { (s, dir) =>
       QueryBuilder.selectDistinct(
@@ -1022,6 +1034,16 @@ object SparkEntry {
          |SELECT entity FROM typed
          |UNION
          |SELECT DISTINCT subj FROM kb WHERE pred = 'custOrderPriority'""".stripMargin,
+    "kb_witness_subgraph" ->
+      s"""$triplesCte
+         |SELECT DISTINCT t.subj AS cust, t.obj AS nation
+         |FROM triples t
+         |WHERE t.pred = 'custNation'
+         |  AND EXISTS (SELECT 1 FROM triples o1 JOIN triples o2
+         |                ON o1.subj = o2.subj
+         |              WHERE o1.pred = 'orderCust' AND o1.obj = t.subj
+         |                AND o2.pred = 'orderPriority'
+         |                AND o2.obj = '1-URGENT')""".stripMargin,
     "kb_domain_set_direct" ->
       s"""$schemaKbCte
          |SELECT DISTINCT subj AS entity FROM kb

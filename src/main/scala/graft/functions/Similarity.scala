@@ -152,13 +152,23 @@ object Similarity {
    * the operator: tiny broadcast centroid table → one dense scoring pass
    * (a broadcast nested-loop by construction, n×nLists cosines — linear
    * in n, NOT a candidate-generation quadratic) → hash-join from probed
-   * lists to list members → per-query top-k window. Skew envelope: a
-   * degenerate corpus can send most vectors to one list, making probes of
-   * that list expensive — production IVF re-trains or splits hot lists;
-   * the deterministic quantizer keeps the DuckDB oracle exact instead.
+   * lists to list members → per-query top-k window.
+   *
+   * Hot-list defense (same discipline as [[Dedup.cappedBucketPairs]]): a
+   * degenerate corpus (zero / templated embeddings) sends most vectors to
+   * ONE list, which as a single join key collapses the member join and
+   * everything downstream into one task. Lists above `maxList` members
+   * are split into ⌈size/maxList⌉ sub-lists by a hash of the member id,
+   * and probes fan out to ALL sub-lists of each probed list — the
+   * candidate SET is exactly the unsplit one (oracle stays exact, and
+   * the nProbe == nLists ≡ brute-force property is preserved); only the
+   * join key gains parallelism. Probe fan-out rides a broadcast of the
+   * (list, sub) directory (≤ Σ⌈size/maxList⌉ rows).
    */
+  val DefaultMaxList = 4096
+
   def ivfTopK(emb: DataFrame, nLists: Int, nProbe: Int, nQueries: Int,
-      k: Int): DataFrame = {
+      k: Int, maxList: Int = DefaultMaxList): DataFrame = {
     val cents = emb.orderBy("vec_id").limit(nLists)
       .select(col("vec_id").as("list_id"), col("embedding").as("ce"))
     // (vector × centroid) cosine rank, ties to the smaller list id — used
@@ -174,11 +184,21 @@ object Similarity {
     val probes = ranked(emb.where(col("vec_id") < nQueries))
       .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("list_id"))
-    val cand = probes.join(assigned.select(col("vec_id").as("neighbor_id"),
-        col("list_id")), "list_id")
+    // hot-list split: members of an oversized list scatter across
+    // sub-lists; the directory of live (list_id, sub_id) keys is tiny
+    val sizes = assigned.groupBy("list_id").agg(count(lit(1)).as("__sz"))
+    val members = assigned.join(broadcast(sizes), "list_id")
+      .withColumn("sub_id",
+        pmod(xxhash64(col("vec_id")),
+          greatest(lit(1L), ceil(col("__sz") / lit(maxList)).cast("long"))))
+      .select(col("vec_id").as("neighbor_id"), col("list_id"), col("sub_id"))
+    val subDir = members.select("list_id", "sub_id").distinct()
+    val cand = probes.join(broadcast(subDir), "list_id")
+      .join(members, Seq("list_id", "sub_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      // already unique: each neighbor lives in exactly ONE list (rank-1
-      // assignment) and probe lists are distinct per query — no dedup shuffle
+      // already unique: each neighbor lives in exactly ONE (list, sub)
+      // (rank-1 assignment + hash sub-id) and probe (list, sub) pairs are
+      // distinct per query — no dedup shuffle
       .select("query_id", "neighbor_id")
     val scored = cand
       .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")

@@ -72,10 +72,30 @@ object QueryBuilder {
   private def compile(triples: DataFrame, atoms: Seq[Atom],
       stats: Option[KGStats], keep: Option[Set[String]]): DataFrame = {
     require(atoms.nonEmpty, "empty conjunctive query")
-    val (pseudo, rest)    = atoms.partition(_.isPseudo)
-    val (meta, positive)  = rest.partition(_.isMeta)
-    require(positive.nonEmpty || meta.nonEmpty,
+    val (pseudo, rest)        = atoms.partition(_.isPseudo)
+    val (meta, positiveAll)   = rest.partition(_.isMeta)
+    require(positiveAll.nonEmpty || meta.nonEmpty,
       "query needs at least one non-filter atom")
+
+    // ---- connected-subgraph existential rewrite ----
+    // The reference's optimConnectedComponent (KB.java:3026-3058, applied
+    // at 3097/3149/3171): a maximal group of ≥2 positive atoms chained
+    // through variables that are neither counted nor referenced by any
+    // pseudo/meta atom touches the rest of the query through AT MOST one
+    // "articulation" variable. Its only effect on the distinct image of
+    // `keep` is the SET of articulation values it witnesses (or bare
+    // satisfiability when it has no articulation variable), so the group
+    // is compiled separately, projected DISTINCT onto that variable —
+    // a semi-join table — before joining, instead of fanning the main
+    // conjunction out by every internal witness. Generalizes the
+    // single-atom dedup below (`keptOf`) to multi-atom witness chains.
+    val (componentDFs, positive) = keep match {
+      case Some(ks) if positiveAll.size >= 2 =>
+        val anchors: Set[String] = ks ++
+          (pseudo ++ meta).flatMap(_.vars.map(_.name))
+        extractExistentialComponents(triples, positiveAll, anchors, stats)
+      case _ => (Nil, positiveAll)
+    }
 
     // #atoms (positive, meta AND pseudo) each variable occurs in — a
     // variable referenced by a pseudo filter or a meta atom is never
@@ -111,12 +131,16 @@ object QueryBuilder {
     // they are selective unary/binary predicates, and joining the
     // distinct derived table on the shared variable columns is the
     // semi-join the reference's instantiation loop performs
-    val metaDFs = meta.map(metaDF(triples, _))
-    val start   = ordered.headOption.map(table(_, 0)).getOrElse(metaDFs.head)
+    // derived binding tables join AFTER the positive conjunction: meta
+    // tables and rewritten existential components are both selective
+    // distinct projections (semi-join shape), so the running estimate can
+    // only shrink
+    val derived = meta.map(metaDF(triples, _)) ++ componentDFs
+    val start   = ordered.headOption.map(table(_, 0)).getOrElse(derived.head)
     val tails: Seq[(DataFrame, Option[Atom])] =
       ordered.drop(1).zipWithIndex
         .map { case (a, i) => (table(a, i + 1), Option(a)) } ++
-        (if (ordered.isEmpty) metaDFs.drop(1) else metaDFs).map((_, None))
+        (if (ordered.isEmpty) derived.drop(1) else derived).map((_, None))
     var df = start
     // Running output-cardinality estimate and bound-variable set, for the
     // stats path's physical hints (plan shape only — never the result):
@@ -175,6 +199,55 @@ object QueryBuilder {
 
   /** Column-name prefix of an all-existential atom's 1-row gate. */
   private val ExistGateCol = "__exist_gate"
+
+  /**
+   * Split the positive atoms into (rewritten component tables, atoms kept
+   * in the main conjunction) for the connected-subgraph existential
+   * rewrite (see [[compile]]). Components are maximal groups connected
+   * through FREE variables (∉ `anchors`); a group of ≥2 atoms touching
+   * ≤1 anchor variable is compiled recursively (the inner pass applies
+   * the per-atom dedup; it cannot recurse further — the group stays one
+   * free-connected component under its own single-anchor keep set) and
+   * reduced to the distinct anchor values it witnesses, or to a 1-row
+   * satisfiability gate when it has no anchor at all. The whole query
+   * being ONE component is left untouched: the caller's final distinct
+   * aggregation already is that rewrite.
+   */
+  private def extractExistentialComponents(triples: DataFrame,
+      positive: Seq[Atom], anchors: Set[String],
+      stats: Option[KGStats]): (Seq[DataFrame], Seq[Atom]) = {
+    val n = positive.size
+    val parent = Array.tabulate(n)(identity)
+    @annotation.tailrec
+    def find(i: Int): Int = if (parent(i) == i) i else find(parent(i))
+    def union(i: Int, j: Int): Unit = { parent(find(i)) = find(j) }
+    val firstByVar = scala.collection.mutable.Map[String, Int]()
+    for ((a, i) <- positive.zipWithIndex;
+         v <- a.vars.map(_.name).distinct if !anchors(v))
+      firstByVar.get(v) match {
+        case Some(j) => union(i, j)
+        case None    => firstByVar(v) = i
+      }
+    val groups = positive.indices.groupBy(find).values.toSeq.sortBy(_.head)
+    if (groups.size <= 1) return (Nil, positive)
+    val dfs  = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val kept = scala.collection.mutable.ArrayBuffer[Atom]()
+    for ((g, gi) <- groups.zipWithIndex) {
+      val atoms   = g.map(positive)
+      val touched = atoms.flatMap(_.vars.map(_.name)).distinct.filter(anchors)
+      if (atoms.size >= 2 && touched.size <= 1) touched match {
+        case Seq(v) =>
+          dfs += compile(triples, atoms, stats, Some(Set(v)))
+            .select(col(v)).distinct()
+        case _ => // cross-scope satisfiability gate (KB.java:3423-3453 class)
+          val innerKeep = atoms.flatMap(_.vars.map(_.name)).headOption
+            .map(Set(_)).getOrElse(Set.empty[String])
+          dfs += compile(triples, atoms, stats, Some(innerKeep))
+            .limit(1).select(lit(true).as(s"${ExistGateCol}_cc$gi"))
+      } else kept ++= atoms
+    }
+    (dfs.toSeq, kept.toSeq)
+  }
 
   /** Estimated output cardinality of [[distinctableBindings]] for this
     * conjunction — the same greedy fold the compiler itself uses

@@ -122,12 +122,30 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
     * tables, so they are computed ONCE and cached — the Spark analog of
     * the reference's relation2subject/relation2object index permutations
     * (KB.java:57-72). Lazy: depth-2 searches never build them. */
-  private lazy val predSubjIdx =
+  private var predSubjBuilt = false
+  private var predObjBuilt  = false
+  private lazy val predSubjIdx = {
+    predSubjBuilt = true
     kb.select(col("pred"), col("subj")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  private lazy val predObjIdx =
+  }
+  private lazy val predObjIdx = {
+    predObjBuilt = true
     kb.select(col("pred"), col("obj")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Release the Miner's cached state — the kb copy plus any index view
+    * the search materialized. [[mine]] calls this on return, so a
+    * long-lived session constructing many Miners (the bench constructs
+    * one per mining query attempt) does not accumulate cached plans for
+    * the life of the session (r4 verdict). Idempotent; a closed Miner
+    * still answers mine() correctly, just without the caches. */
+  def close(): Unit = {
+    kb.unpersist()
+    if (predSubjBuilt) predSubjIdx.unpersist()
+    if (predObjBuilt) predObjIdx.unpersist()
+  }
   private lazy val predSubjRows = stats.relations.values.map(_.distinctSubj).sum
   private lazy val predObjRows  = stats.relations.values.map(_.distinctObj).sum
 
@@ -232,8 +250,11 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       a
     }
 
-  /** Mine and return all output rules, deterministically ordered. */
-  def mine(): Seq[ScoredRule] = {
+  /** Mine and return all output rules, deterministically ordered.
+    * Releases the Miner's cached state on return (see [[close]]). */
+  def mine(): Seq[ScoredRule] = try mineImpl() finally close()
+
+  private def mineImpl(): Seq[ScoredRule] = {
     val seen   = scala.collection.mutable.Set[String]()
     val output = scala.collection.mutable.ArrayBuffer[ScoredRule]()
     var level  = seeds
@@ -346,7 +367,21 @@ final class Miner(triples: DataFrame, config: MinerConfig = MinerConfig()) {
       val children = phaseTimed(s"finish refine ${candidates.size} rules")(
         finishRefine(refinePlan, pooled.drop(scoringPlan.pools.size),
           refinable, outputConf.toMap))
-      level = children.filter(c => seen.add(c.rule.canonical))
+      // The same canonical child can be generated by several parents in
+      // one level (e.g. h⇐b1∧b2 from both h⇐b1 and h⇐b2), with different
+      // skyline floors. The reference rejects a rule if ANY output
+      // ancestor matches or beats its confidence (MiningAssistant
+      // .java:1238-1266 iterates the full ancestor set), so the merged
+      // child keeps the MAX floor — also making the floor independent of
+      // job-row collection order (first-seen was collect-order-dependent).
+      // BFS-by-length means duplicates only ever collide within a level.
+      level = children.groupBy(_.rule.canonical).toSeq.sortBy(_._1)
+        .map { case (_, dup) =>
+          val floor = dup.map(_.ancestorConf).max
+          // deterministic representative naming among the max-floor dups
+          dup.filter(_.ancestorConf == floor).minBy(_.rule.amieString)
+        }
+        .filter(c => seen.add(c.rule.canonical))
     }
     output.toSeq.sortBy(s => (headRel(s.rule), -s.pcaConfidence, -s.support, s.rule.amieString))
   }

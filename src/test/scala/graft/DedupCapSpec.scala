@@ -160,6 +160,33 @@ class DedupCapSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopK hot-list split is output-invariant, incl. a degenerate one-list corpus") {
+    import spark.implicits._
+    // normal corpus: forcing aggressive splits (maxList 4) must not change
+    // a single row vs the unsplit default
+    val emb = (0 until 30)
+      .map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 3) % 11 - 5).toFloat / 3f), "l"))
+      .toDF("vec_id", "embedding", "label")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val split   = rows(Similarity.ivfTopK(emb, 6, 3, 5, 4, maxList = 4))
+    val unsplit = rows(Similarity.ivfTopK(emb, 6, 3, 5, 4))
+    assert(split == unsplit)
+    // degenerate corpus: every embedding identical → rank-1 assignment
+    // ties to list 0, ALL vectors land in one list. The split must cover
+    // the whole hot list (probing all sub-lists = probing the list), so
+    // nProbe == nLists still equals brute force — and the hot key is no
+    // longer a single join partition.
+    val flat = (0 until 40)
+      .map(i => (i.toLong, Array.fill(8)(1.0f), "l"))
+      .toDF("vec_id", "embedding", "label")
+    val ivfFlat = rows(Similarity.ivfTopK(flat, 4, 4, 3, 5, maxList = 8))
+    val bfFlat = Similarity.bruteForceTopK(flat, nQueries = 3, k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(ivfFlat == bfFlat)
+  }
+
   test("cappedBucketPairs: small buckets all-pairs, overflow buckets star") {
     import spark.implicits._
     // bucket A: 3 members (under cap 3) -> 3 pairs; bucket B: 4 members

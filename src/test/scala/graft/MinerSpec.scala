@@ -21,6 +21,24 @@ class MinerSpec extends AnyFunSuite {
       b.map(s => (s.rule.canonical, s.support, s.bodySize, s.pcaBodySize)))
   }
 
+  test("mine() releases the Miner's cached state — no growth across lifecycles (r4 verdict)") {
+    // depth-3 search forces the lazy (pred,subj)/(pred,obj) index views,
+    // so all three persisted frames are exercised; two full lifecycles
+    // must leave the persistent-RDD registry no larger than before
+    val kb   = Fixtures.baseKB(spark)
+    val base = spark.sparkContext.getPersistentRDDs.size
+    new Miner(kb, cfg).mine()
+    new Miner(kb, cfg).mine()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after <= base,
+      s"cached state leaked across Miner lifecycles: $base -> $after")
+    // close() is idempotent and a closed Miner still mines correctly
+    val m = new Miner(kb, cfg)
+    val rules = m.mine()
+    m.close()
+    assert(rules.exists(s => s.rule.head.p == Const("livesIn")))
+  }
+
   test("mines worksAt∧isLocatedIn ⇒ livesIn on the base fixture with exact metrics") {
     val rules = new Miner(Fixtures.baseKB(spark), cfg).mine()
     assert(rules.nonEmpty)

@@ -247,4 +247,51 @@ class PlanSpec extends AnyFunSuite {
     assert(gated.select("x", "y").distinct().count() ==
       base.select("x", "y").distinct().count())
   }
+
+  test("connected-subgraph existential dedup: witness CHAIN collapsed to a semi-join (KB.java:3026-3058)") {
+    val t     = pipeline.triples()
+    val stats = Some(KGStats.compute(t))
+    // worksAt(x, y) with a 2-atom witness chain hanging off y: the chain's
+    // internal variable z and tail w occur in ≥2 / 1 atoms respectively —
+    // the r4 per-atom dedup keeps z (occ 2), so only the component rewrite
+    // removes the whole chain's fan-out. Neither column may survive.
+    val atoms = Seq(
+      Atom(Var("x"), Const("worksAt"), Var("y")),
+      Atom(Var("y"), Const("isLocatedIn"), Var("z")),
+      Atom(Var("z2"), Const("livesIn"), Var("z")))
+    val deduped = QueryBuilder.distinctableBindings(t, atoms, Set("x", "y"), stats)
+    assert(!deduped.columns.contains("z") && !deduped.columns.contains("z2"),
+      s"witness-chain variables survived: ${deduped.columns.mkString(",")}")
+    val exact = QueryBuilder.bindings(t, atoms, stats)
+    assert(deduped.select("x", "y").distinct()
+      .exceptAll(exact.select("x", "y").distinct()).isEmpty &&
+      exact.select("x", "y").distinct()
+        .exceptAll(deduped.select("x", "y").distinct()).isEmpty,
+      "component rewrite changed the distinct image")
+    // the component table joins DEDUPLICATED: an Aggregate sits below the
+    // final join in the optimized plan (semi-join shape, not fan-out)
+    val opt = deduped.queryExecution.optimizedPlan
+    val aggsBelowJoin = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.children.exists(_.collectFirst {
+            case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+          }.isDefined) => j
+    }
+    assert(aggsBelowJoin.nonEmpty,
+      s"no pre-join dedup in the optimized plan:\n$opt")
+    // a NO-anchor multi-atom chain (disconnected from the counted side)
+    // degrades to a satisfiability gate — no columns leaked, image kept
+    val gated2 = QueryBuilder.distinctableBindings(t,
+      Seq(Atom(Var("x"), Const("worksAt"), Var("y")),
+        Atom(Var("p"), Const("livesIn"), Var("q")),
+        Atom(Var("q"), Const("isLocatedIn"), Var("s2"))),
+      Set("x"), stats)
+    // (y occurs once and is not kept, so the per-atom dedup drops it too)
+    assert(gated2.columns.sorted.toSeq == Seq("x"),
+      s"chain gate leaked columns: ${gated2.columns.mkString(",")}")
+    val baseX = QueryBuilder.bindings(t,
+      Seq(Atom(Var("x"), Const("worksAt"), Var("y"))), stats)
+    assert(gated2.select("x").distinct().count() ==
+      baseX.select("x").distinct().count())
+  }
 }

@@ -22,80 +22,23 @@ class PropertySpec extends AnyFunSuite {
 
   // ---------- brute-force evaluator ----------
 
-  /** All assignments (var name → value) satisfying the conjunction. */
+  // the evaluator lives in [[BruteForce]] (shared with BruteMinerSpec)
   private def bruteBindings(
-      kb: Set[(String, String, String)], atoms: Seq[Atom]): Set[Map[String, String]] = {
-    val (pseudo, positive) = atoms.partition(_.isPseudo)
-    val init: Set[Map[String, String]] = Set(Map.empty)
-    val afterPositive = positive.foldLeft(init) { (acc, a) =>
-      acc.flatMap { env =>
-        kb.flatMap { case (s, p, o) =>
-          def unify(t: Term, v: String, e: Map[String, String]): Option[Map[String, String]] =
-            t match {
-              case Const(c) => if (c == v) Some(e) else None
-              case Var(n)   => e.get(n) match {
-                case Some(x) => if (x == v) Some(e) else None
-                case None    => Some(e + (n -> v))
-              }
-            }
-          unify(a.s, s, env).flatMap(unify(a.p, p, _)).flatMap(unify(a.o, o, _))
-        }
-      }
-    }
-    afterPositive.filter { env =>
-      pseudo.forall { a =>
-        def v(t: Term): String = t match { case Const(c) => c; case Var(n) => env(n) }
-        a.p match {
-          case Const(Atom.DifferentFrom) => v(a.s) != v(a.o)
-          case Const(Atom.Equals)        => v(a.s) == v(a.o)
-          case _                         => true
-        }
-      }
-    }
-  }
+      kb: Set[(String, String, String)], atoms: Seq[Atom]): Set[Map[String, String]] =
+    BruteForce.bindings(kb, atoms)
 
   private def bruteCountDistinct(
       kb: Set[(String, String, String)], vs: Seq[Var], atoms: Seq[Atom]): Long =
-    bruteBindings(kb, atoms).map(env => vs.map(v => env(v.name))).size.toLong
+    BruteForce.countDistinct(kb, vs, atoms)
 
   /** Brute-force ScoredRule mirroring Metrics' documented semantics. */
-  private def bruteScore(kb: Set[(String, String, String)], r: Rule): (Long, Long, Long, Long) = {
-    // stats for the functional-variable direction
-    def funIsSubj(p: String): Boolean = {
-      val facts = kb.filter(_._2 == p)
-      if (facts.isEmpty) true
-      else {
-        val f  = facts.map(_._1).size.toDouble / facts.size
-        val iF = facts.map(_._3).size.toDouble / facts.size
-        f >= iF
-      }
-    }
-    val hv = r.headVars
-    val support = bruteCountDistinct(kb, hv, r.atoms)
-    val body    = bruteCountDistinct(kb, hv, r.body)
-    val fresh   = Var("pcaFresh")
-    val pcaHead = r.head.p match {
-      case Const(p) if funIsSubj(p) => r.head.copy(o = fresh)
-      case Const(_)                 => r.head.copy(s = fresh)
-      case _                        => r.head.copy(o = fresh)
-    }
-    val pca = bruteCountDistinct(kb, hv, r.body :+ pcaHead)
-    val headSize = r.head match {
-      case Atom(_: Var, Const(p), _: Var) => kb.count(_._2 == p).toLong
-      case _                              => bruteCountDistinct(kb, hv, Seq(r.head))
-    }
-    (support, body, pca, headSize)
-  }
+  private def bruteScore(kb: Set[(String, String, String)], r: Rule): (Long, Long, Long, Long) =
+    BruteForce.score(kb, r)
 
   // ---------- random generators (deterministic seed) ----------
 
-  private def randomKB(rng: scala.util.Random, nFacts: Int): Set[(String, String, String)] = {
-    val ents = (0 until 8).map(i => s"e$i")
-    val rels = (0 until 3).map(i => s"r$i")
-    (0 until nFacts).map { _ =>
-      (ents(rng.nextInt(ents.size)), rels(rng.nextInt(rels.size)), ents(rng.nextInt(ents.size)))
-    }.toSet
-  }
+  private def randomKB(rng: scala.util.Random, nFacts: Int): Set[(String, String, String)] =
+    BruteForce.randomKB(rng, nFacts)
 
   private val x = Var("x"); private val y = Var("y"); private val z = Var("z")
 
@@ -183,6 +126,50 @@ class PropertySpec extends AnyFunSuite {
       val plain   = rows(QueryBuilder.bindings(df, r.atoms))
       val ordered = rows(QueryBuilder.bindings(df, r.atoms, Some(stats)))
       withClue(s"case $i rule=$r: ") { assert(ordered == plain) }
+      df.unpersist()
+    }
+  }
+
+  test("connected-subgraph existential dedup matches brute force on random witness chains") {
+    // the KB.java:3026-3058 connectedComponent-rewrite generalization:
+    // multi-atom chains hanging off the counted variables through a single
+    // articulation variable (and fully detached chains) must never change
+    // the distinct image of the kept variables, under every keep set and
+    // with/without stats-driven plans
+    val rng = new scala.util.Random(41)
+    val w = Var("w"); val u = Var("u")
+    for (i <- 1 to 10) {
+      val kb = randomKB(rng, 24)
+      def rel()         = Const(s"r${rng.nextInt(3)}")
+      def flip(a: Atom) = if (rng.nextBoolean()) a else Atom(a.o, a.p, a.s)
+      val main = Atom(x, rel(), y)
+      val extra: List[Atom] = rng.nextInt(4) match {
+        case 0 => // 2-atom chain off y
+          List(flip(Atom(y, rel(), z)), flip(Atom(z, rel(), w)))
+        case 1 => // 3-atom chain off y
+          List(flip(Atom(y, rel(), z)), flip(Atom(z, rel(), w)),
+            flip(Atom(w, rel(), u)))
+        case 2 => // two chains, off y and off x
+          List(flip(Atom(y, rel(), z)), flip(Atom(z, rel(), w)),
+            flip(Atom(x, rel(), u)))
+        case _ => // fully detached 2-atom chain (no articulation variable)
+          List(flip(Atom(z, rel(), w)), flip(Atom(w, rel(), u)))
+      }
+      val atoms = main :: extra
+      val keep  = if (rng.nextBoolean()) Set("x") else Set("x", "y")
+      val cols  = keep.toSeq.sorted
+      val df    = toDF(kb).cache()
+      val stats = KGStats.compute(df)
+      def img(d: org.apache.spark.sql.DataFrame) = d
+        .select(cols.map(org.apache.spark.sql.functions.col): _*).distinct()
+        .collect().map(r => cols.indices.map(r.getString).toList).toSet
+      val want = bruteBindings(kb, atoms)
+        .map(env => cols.map(env).toList)
+      val gotS = img(QueryBuilder.distinctableBindings(df, atoms, keep, Some(stats)))
+      val got0 = img(QueryBuilder.distinctableBindings(df, atoms, keep, None))
+      withClue(s"case $i atoms=$atoms keep=$keep: ") {
+        assert(gotS == want); assert(got0 == want)
+      }
       df.unpersist()
     }
   }
