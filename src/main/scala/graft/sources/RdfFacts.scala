@@ -14,11 +14,16 @@ import org.apache.spark.sql.functions._
  *    + three codegen'd regexp extractions parse it fully distributed —
  *    this is the 100-TB path (RDF dumps ship as N-Triples for exactly
  *    this reason).
- *  - [[loadTurtle]]: Turtle statements span lines (`;`/`,` continuation),
- *    so each FILE is parsed as a unit (`wholetext`) by a small
- *    tokenizer — parallel across files, single-pass per file. Fine for
- *    the many-file layout real dumps use; convert to N-Triples for
- *    single-file behemoths.
+ *  - [[loadTurtle]]: Turtle statements span lines (`;`/`,` continuation,
+ *    `[...]` blank-node property lists, `(...)` collections, long
+ *    literals), so each FILE is parsed as a unit (`wholetext`) by a
+ *    small recursive-descent parser — parallel across files, single-pass
+ *    per file. Fine for the many-file layout real dumps use; convert to
+ *    N-Triples for single-file behemoths. Anonymous blank nodes get
+ *    DETERMINISTIC labels `_:g<pathmd5>n<k>` (statement order within the
+ *    file × an md5 salt of the file path) — stable across runs and
+ *    partitionings, collision-free across files, unlike a parser-global
+ *    arrival counter.
  *
  * Both emit full IRIs (brackets stripped, RDF4J `String.valueOf` shape);
  * [[compactIris]] reproduces the reference's namespace compaction
@@ -64,23 +69,41 @@ object RdfFacts {
   // ---- Turtle subset ------------------------------------------------
 
   /** Load Turtle files: `@prefix`/`PREFIX` declarations, `a` keyword,
-    * `;` and `,` continuations, comments, quoted literals with escapes,
-    * `@lang` / `^^` suffixes. One parse per file, parallel across files. */
+    * `;` and `,` continuations, comments, quoted literals with escapes
+    * (short/long, single/double-quoted), `@lang` / `^^` suffixes,
+    * `[...]` blank-node property lists (incl. as anonymous subject) and
+    * `(...)` collections (lowered to rdf:first/rest/nil chains). One
+    * parse per file, parallel across files. */
   def loadTurtle(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(path)
-      .as[String]
-      .flatMap(parseTurtle)
+      .select(input_file_name().as("path"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (p, content) => parseTurtle(content, bnodeSalt(p)) }
       .toDF("subj", "pred", "obj")
   }
 
-  private val RdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  /** 8-hex md5 of the file path — scopes anonymous-bnode labels per file
+    * (Turtle bnodes are document-scoped; a global counter has no
+    * deterministic distributed analog). */
+  private[sources] def bnodeSalt(path: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  private val RdfNs    = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val RdfType  = RdfNs + "type"
+  private val RdfFirst = RdfNs + "first"
+  private val RdfRest  = RdfNs + "rest"
+  private val RdfNil   = RdfNs + "nil"
 
   /** Tokenize + parse one Turtle document. Package-visible for the spec. */
-  private[sources] def parseTurtle(content: String): Seq[(String, String, String)] = {
+  private[sources] def parseTurtle(content: String,
+      salt: String = ""): Seq[(String, String, String)] = {
     val toks = tokenize(content)
     val prefixes = scala.collection.mutable.Map[String, String]()
     val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    var bnodeN = 0
+    def fresh(): String = { val b = s"_:g${salt}n$bnodeN"; bnodeN += 1; b }
 
     def expand(pfx: String, local: String): String =
       prefixes.get(pfx) match {
@@ -124,6 +147,59 @@ object RdfFacts {
     }
 
     var i = 0
+
+    // term := IRI | prefixed | bnode | literal | '[' predObjList? ']' |
+    //         '(' term* ')'. Property lists allocate a fresh bnode and
+    //         emit their triples inline; collections lower to the
+    //         rdf:first/rest/nil chain (one fresh bnode per element).
+    def parseTerm(): String = toks(i) match {
+      case Punct('[') =>
+        i += 1
+        val b = fresh()
+        if (toks(i) == Punct(']')) i += 1
+        else {
+          parsePredObjList(b)
+          require(i < toks.length && toks(i) == Punct(']'),
+            s"expected ] got ${toks.lift(i)}")
+          i += 1
+        }
+        b
+      case Punct('(') =>
+        i += 1
+        val items = scala.collection.mutable.ArrayBuffer[String]()
+        while (i < toks.length && toks(i) != Punct(')')) items += parseTerm()
+        require(i < toks.length, "unterminated collection")
+        i += 1
+        if (items.isEmpty) RdfNil
+        else {
+          val nodes = Seq.fill(items.length)(fresh())
+          for (k <- items.indices) {
+            out += ((nodes(k), RdfFirst, items(k)))
+            out += ((nodes(k), RdfRest,
+              if (k == items.length - 1) RdfNil else nodes(k + 1)))
+          }
+          nodes.head
+        }
+      case t => i += 1; resolve(t)
+    }
+
+    // predObjList := verb objectList (';'+ (verb objectList)?)*
+    def parsePredObjList(subj: String): Unit = {
+      var cont = true
+      while (cont) {
+        val pred = resolve(toks(i)); i += 1
+        out += ((subj, pred, parseTerm()))
+        while (i < toks.length && toks(i) == Punct(',')) {
+          i += 1; out += ((subj, pred, parseTerm()))
+        }
+        if (i < toks.length && toks(i) == Punct(';')) {
+          while (i < toks.length && toks(i) == Punct(';')) i += 1
+          cont = i < toks.length &&
+            toks(i) != Punct('.') && toks(i) != Punct(']')
+        } else cont = false
+      }
+    }
+
     while (i < toks.length) {
       toks(i) match {
         case Keyword("@prefix") | Keyword("PREFIX") =>
@@ -137,24 +213,14 @@ object RdfFacts {
           i += 2 // subset: base IRIs accepted but not applied
           if (i < toks.length && toks(i) == Punct('.')) i += 1
         case _ =>
-          // statement: subj pred obj (',' obj)* (';' pred obj (',' obj)*)* '.'
-          val subj = resolve(toks(i)); i += 1
-          var done = false
-          while (!done) {
-            val pred = resolve(toks(i)); i += 1
-            var more = true
-            while (more) {
-              out += ((subj, pred, resolve(toks(i)))); i += 1
-              toks(i) match {
-                case Punct(',') => i += 1
-                case Punct(';') => more = false; i += 1
-                  // allow trailing ';' before '.'
-                  if (toks(i) == Punct('.')) { done = true; i += 1 }
-                case Punct('.') => more = false; done = true; i += 1
-                case other => throw new IllegalArgumentException(s"expected , ; or . got $other")
-              }
-            }
-          }
+          // statement: subject predObjList '.' — a subject-only
+          // '[ ... ] .' statement (Turtle grammar production [6]
+          // triples, 2nd alternative) is the bare-term case below
+          val subj = parseTerm()
+          if (!(i < toks.length && toks(i) == Punct('.'))) parsePredObjList(subj)
+          require(i < toks.length && toks(i) == Punct('.'),
+            s"expected . got ${toks.lift(i)}")
+          i += 1
       }
     }
     out.toSeq
@@ -171,24 +237,57 @@ object RdfFacts {
   private def tokenize(s: String): IndexedSeq[Token] = {
     val out = scala.collection.mutable.ArrayBuffer[Token]()
     var i = 0
-    def isBoundary(c: Char) = c.isWhitespace || c == ';' || c == ',' || c == ')' || c == ']'
+    def isBoundary(c: Char) = c.isWhitespace || c == ';' || c == ',' ||
+      c == '(' || c == ')' || c == '[' || c == ']'
     while (i < s.length) {
       s(i) match {
         case c if c.isWhitespace => i += 1
         case '#' => while (i < s.length && s(i) != '\n') i += 1
+        case c @ ('[' | ']' | '(' | ')') => out += Punct(c); i += 1
         case '<' =>
           val j = s.indexOf('>', i)
           require(j > 0, "unterminated IRI")
           out += Iri(s.substring(i + 1, j)); i = j + 1
-        case '"' =>
-          // quoted lexical form incl. escapes, then optional @lang / ^^ref
-          val sb = new StringBuilder("\"")
-          i += 1
-          while (s(i) != '"') {
-            if (s(i) == '\\') { sb.append(s(i)).append(s(i + 1)); i += 2 }
-            else { sb.append(s(i)); i += 1 }
+        case q @ ('"' | '\'') =>
+          // quoted lexical form — short or long (""" / '''), double or
+          // single quoted — incl. escapes, then optional @lang / ^^ref.
+          // Normalized to the canonical double-quoted single-line form
+          // the N-Triples loader emits: raw " escaped, newlines/CR/tab
+          // escaped, \' unescaped ("""a↵b""" ≡ the NT token "a\nb").
+          val qqq  = s"$q$q$q"
+          val body = new StringBuilder
+          if (s.startsWith(qqq, i)) {
+            i += 3
+            while (!s.startsWith(qqq, i)) {
+              require(i < s.length, "unterminated long literal")
+              if (s(i) == '\\') { body.append(s(i)).append(s(i + 1)); i += 2 }
+              else { body.append(s(i)); i += 1 }
+            }
+            i += 3
+          } else {
+            i += 1
+            while (s(i) != q) {
+              if (s(i) == '\\') { body.append(s(i)).append(s(i + 1)); i += 2 }
+              else { body.append(s(i)); i += 1 }
+            }
+            i += 1
           }
-          sb.append('"'); i += 1
+          val sb = new StringBuilder("\"")
+          var k = 0
+          while (k < body.length) {
+            body(k) match {
+              case '\\' if k + 1 < body.length =>
+                if (body(k + 1) == '\'') sb.append('\'')
+                else sb.append('\\').append(body(k + 1))
+                k += 2
+              case '"'  => sb.append("\\\""); k += 1
+              case '\n' => sb.append("\\n");  k += 1
+              case '\r' => sb.append("\\r");  k += 1
+              case '\t' => sb.append("\\t");  k += 1
+              case c    => sb.append(c);      k += 1
+            }
+          }
+          sb.append('"')
           if (i < s.length && s(i) == '@') {
             while (i < s.length && !isBoundary(s(i)) && s(i) != '.') { sb.append(s(i)); i += 1 }
           } else if (i + 1 < s.length && s(i) == '^' && s(i + 1) == '^') {

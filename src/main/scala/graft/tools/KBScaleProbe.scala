@@ -44,6 +44,15 @@ object KBScaleProbe {
     "kb_type_intersections", "kb_typing_overlap",
     "kb_cardinality_hist", "kb_delta",
     "kb_card_inline", "kb_rule_metrics", "kb_mined_rules_d2",
+    // r5 additions. kb_witness_subgraph: the connected-subgraph
+    // existential rewrite — its 2-atom witness chain (orderCust ∧
+    // orderPriority) grows K× per customer, so WITHOUT the rewrite the
+    // pre-distinct join fans out K×; with it the chain collapses to a
+    // semi-join before joining. kb_link_prediction*: filteredRanks' hub
+    // keys — (pred, nation) candidate pools AND test triples on the same
+    // key both grow K×, so the old candidate×test pair join was K²; the
+    // per-key score histogram should hold it ~K.
+    "kb_witness_subgraph", "kb_link_prediction", "kb_link_prediction_maxplus",
     // last: its OUTPUT is quadratic by construction (both join sides
     // replicate K× against the fixed 25-nation hub → K² distinct pairs),
     // so it is the longest job and the one most likely to straddle an

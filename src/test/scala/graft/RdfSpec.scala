@@ -76,6 +76,85 @@ class RdfSpec extends AnyFunSuite {
     assert(got("http://ex.org/active") == s""""true"^^<${xsd}boolean>""")
   }
 
+  test("Turtle: blank-node property lists, nested and as anonymous subject") {
+    val ttl =
+      """@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+        |@prefix ex: <http://ex.org/> .
+        |ex:Luis foaf:knows [ foaf:name "T" ; foaf:knows [ foaf:name "A" ] ] .
+        |[ foaf:name "X" ] .
+        |""".stripMargin
+    val got = RdfFacts.loadTurtle(spark, write("bnodes.ttl", ttl))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val foaf = "http://xmlns.com/foaf/0.1/"
+    // structure: Luis --knows--> b1 --name--> "T", b1 --knows--> b2 --name--> "A"
+    val b1 = got.collect { case ("http://ex.org/Luis", p, o) if p == s"${foaf}knows" => o }
+    assert(b1.length == 1 && b1.head.startsWith("_:g"), got.mkString("\n"))
+    assert(got.contains((b1.head, s"${foaf}name", "\"T\"")))
+    val b2 = got.collect { case (s, p, o) if s == b1.head && p == s"${foaf}knows" => o }
+    assert(b2.length == 1 && b2.head.startsWith("_:g") && b2.head != b1.head)
+    assert(got.contains((b2.head, s"${foaf}name", "\"A\"")))
+    // anonymous-subject statement: one more distinct bnode carrying name "X"
+    val bx = got.collect { case (s, p, "\"X\"") if p == s"${foaf}name" => s }
+    assert(bx.length == 1 && bx.head.startsWith("_:g") &&
+      !Set(b1.head, b2.head).contains(bx.head))
+    assert(got.length == 5)
+  }
+
+  test("Turtle: collections lower to rdf:first/rest/nil chains") {
+    val ttl =
+      """@prefix ex: <http://ex.org/> .
+        |ex:l ex:items (ex:a 2 ex:b) .
+        |ex:l ex:none () .
+        |""".stripMargin
+    val got = RdfFacts.loadTurtle(spark, write("coll.ttl", ttl))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val xsd = "http://www.w3.org/2001/XMLSchema#"
+    // empty collection: the object IS rdf:nil, no fresh nodes
+    assert(got.contains(("http://ex.org/l", "http://ex.org/none", s"${rdf}nil")))
+    // 3-element chain: follow rest-pointers from the items object
+    val n1 = got.collect { case ("http://ex.org/l", "http://ex.org/items", o) => o }.head
+    def first(n: String) = got.collect { case (s, p, o) if s == n && p == s"${rdf}first" => o }.head
+    def rest(n: String)  = got.collect { case (s, p, o) if s == n && p == s"${rdf}rest" => o }.head
+    assert(first(n1) == "http://ex.org/a")
+    val n2 = rest(n1)
+    assert(first(n2) == s""""2"^^<${xsd}integer>""")
+    val n3 = rest(n2)
+    assert(first(n3) == "http://ex.org/b" && rest(n3) == s"${rdf}nil")
+    assert(Seq(n1, n2, n3).distinct.length == 3 && n1.startsWith("_:g"))
+    assert(got.length == 2 + 6) // 2 statements + 3 (first,rest) pairs
+  }
+
+  test("Turtle: long and single-quoted literals normalize to the NT form") {
+    val ttl =
+      "@prefix ex: <http://ex.org/> .\n" +
+        "ex:a ex:note \"\"\"line1\nline2 \"quoted\" end\"\"\"@en .\n" +
+        "ex:a ex:s 'it\\'s' .\n" +
+        "ex:a ex:t '''tab\there'''^^ex:dt .\n"
+    val got = RdfFacts.loadTurtle(spark, write("lit.ttl", ttl))
+      .collect().map(r => (r.getString(1), r.getString(2))).toMap
+    assert(got("http://ex.org/note") == "\"line1\\nline2 \\\"quoted\\\" end\"@en")
+    assert(got("http://ex.org/s") == "\"it's\"")
+    assert(got("http://ex.org/t") == "\"tab\\there\"^^<http://ex.org/dt>")
+  }
+
+  test("Turtle: bnode labels are deterministic per run and distinct across files") {
+    val ttl =
+      """@prefix foaf: <http://xmlns.com/foaf/0.1/> .
+        |[ foaf:name "X" ] .
+        |""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdf-multi")
+    java.nio.file.Files.write(dir.resolve("a.ttl"), ttl.getBytes("UTF-8"))
+    java.nio.file.Files.write(dir.resolve("b.ttl"), ttl.getBytes("UTF-8"))
+    def load() = RdfFacts.loadTurtle(spark, dir.toString)
+      .collect().map(r => r.getString(0)).sorted.toSeq
+    val subjects = load()
+    // same content, different files: two triples, DISTINCT bnode subjects
+    assert(subjects.length == 2 && subjects.distinct.length == 2)
+    assert(subjects.forall(_.startsWith("_:g")))
+    assert(load() == subjects) // deterministic across runs
+  }
+
   test("N-Triples strict mode rejects malformed lines; lax mode drops them") {
     val nt =
       """<http://ex.org/a> <http://ex.org/p> <http://ex.org/b> .
