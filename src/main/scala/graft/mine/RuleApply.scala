@@ -110,10 +110,21 @@ object RuleApply {
    * set. "Strictly better" counts come from a per-(key, score) HISTOGRAM
    * of the candidate pool — the join is test × distinct-scores-per-key,
    * and distinct scores are bounded by the rule count (scores are rule
-   * confidences), not the candidate count. Only exact score TIES join
-   * candidate rows, on (key, score) equality — the selective slice the
-   * tie-break genuinely needs. Both are partitioned aggregations; no
-   * global windows, AQE skew split applies.
+   * confidences), not the candidate count. Score TIES are an order
+   * statistic over the tied set, NOT a join either (a (key, score)
+   * equi-join of tests × tied candidates is quadratic exactly when
+   * confidences collide on a hub key — few rules ⇒ few distinct scores
+   * ⇒ massive tied sets; the r5 K=10 probe measured the join form at
+   * 9.4× for 10× data, window form ~linear): candidates and test
+   * targets union into one table and a running candidate count per
+   * (key, score) partition ordered by entity id reads off
+   * #{tied candidates below each target} in linear rows and one
+   * shuffle. The window is PARTITIONED by (key, score) — the score in
+   * the partition key splits a hub key across rules' confidences — and
+   * its order is total: a candidate can never equal a test target on
+   * the same key (the candidate pool is known-free, every test target
+   * is known), two test targets with one (key, id) are one triple, and
+   * candidate (key, cand) pairs are distinct post-aggregation.
    *
    * Output: (subj, pred, obj, rank).
    */
@@ -143,11 +154,24 @@ object RuleApply {
     val strict = ranked.join(hist, keys)
       .where(col("cconf") > col("tconf"))
       .groupBy("subj", "pred", "obj").agg(sum(col("__n")).as("nstrict"))
-    // score ties below the target entity: equi-join ON the score too
-    val ties = ranked
-      .join(cands.withColumnRenamed("cconf", "tconf"), keys :+ "tconf")
-      .where(col("cand") < col(entity))
-      .groupBy("subj", "pred", "obj").agg(count(lit(1)).as("nties"))
+    // score ties below the target entity: running candidate count per
+    // (key, score) partition (see the order-statistic note above). A
+    // test target's row contributes 0, so the running sum AT the target
+    // is exactly #{tied candidates with id < target id}; the test
+    // triple itself is keys ∪ {entity}, reconstructed from the window
+    // columns.
+    val tagged = cands.select(keys.map(col) ++ Seq(col("cconf").as("__sc"),
+        col("cand").as("__id"), lit(1L).as("__iscand")): _*)
+      .unionByName(ranked.select(keys.map(col) ++ Seq(col("tconf").as("__sc"),
+        col(entity).as("__id"), lit(0L).as("__iscand")): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "__sc").map(col): _*).orderBy(col("__id"))
+      .rowsBetween(Long.MinValue, 0)
+    val ties = tagged
+      .withColumn("__below", sum(col("__iscand")).over(w))
+      .where(col("__iscand") === 0L && col("__below") > 0L)
+      .select(keys.map(col) ++
+        Seq(col("__id").as(entity), col("__below").as("nties")): _*)
     scored.join(strict, Seq("subj", "pred", "obj"), "left")
       .join(ties, Seq("subj", "pred", "obj"), "left")
       .select(col("subj"), col("pred"), col("obj"),
