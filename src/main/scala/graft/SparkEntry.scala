@@ -581,6 +581,36 @@ object SparkEntry {
         s"planted-rule metrics mismatch: mined (${got.support}, ${got.bodySize}, " +
           s"${got.pcaBodySize}) vs independent SQL (${exp.getLong(0)}, " +
           s"${exp.getLong(1)}, ${exp.getLong(2)})")
+      // Full-SET equality gate (r4 verdict #4): at correctness scale the
+      // dims KB fits on the driver, so the whole depth-3 search is
+      // re-run by the brute-force in-memory RefMiner (an independent
+      // implementation: naive backtracking counts, none of the Spark
+      // plan machinery) and the rule SETS must match exactly — any
+      // spurious extra or missing rule fails the entry, not just the
+      // planted rule. The limit(N+1) collect bounds driver memory: at
+      // bench scale (sf0.1, ~31k triples) the gate self-skips and the
+      // planted-rule + threshold assertions above still apply.
+      val refGateMax = 10000
+      val small = dims.select("subj", "pred", "obj").limit(refGateMax + 1).collect()
+      if (small.length <= refGateMax) {
+        val ref = graft.mine.RefMiner.mine(
+          small.toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2))),
+          MinerConfig(minSupport = 20, minHeadCoverage = 0.05,
+            minPcaConfidence = 0.5)).map(sr => sr.rule.canonical -> sr).toMap
+        val mined = rules.map(sr => sr.rule.canonical -> sr).toMap
+        require(mined.keySet == ref.keySet,
+          s"mined rule set differs from brute-force reference: " +
+            s"extra=${(mined.keySet -- ref.keySet).mkString("; ")} " +
+            s"missing=${(ref.keySet -- mined.keySet).mkString("; ")}")
+        for ((c, m) <- mined; r = ref(c)) require(
+          m.support == r.support && m.bodySize == r.bodySize &&
+            m.pcaBodySize == r.pcaBodySize &&
+            math.abs(m.pcaConfidence - r.pcaConfidence) < 1e-9 &&
+            math.abs(m.headCoverage - r.headCoverage) < 1e-9,
+          s"metrics differ from brute-force reference for $c: " +
+            s"mined(${m.support},${m.bodySize},${m.pcaBodySize}) vs " +
+            s"ref(${r.support},${r.bodySize},${r.pcaBodySize})")
+      }
       RuleSink.toDF(s, rules)
     },
 

@@ -131,7 +131,10 @@ object KBScaleProbe {
       timeQuery("kb_stats", base)
       timeQuery("kb_stats", big)
 
-      val results = ProbedQueries.map { name =>
+      // optional csv filter for re-probing a family after a fix
+      val wanted = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
+        .map(_.split(",").map(_.trim).toSet)
+      val results = ProbedQueries.filter(q => wanted.forall(_(q))).map { name =>
         // one query's failure (e.g. an ambient freeze outlasting even the
         // raised timeouts) must not cost the rest of the sweep
         try {
