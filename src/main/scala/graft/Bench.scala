@@ -419,7 +419,10 @@ object Bench {
       "dedup_simhash_clusters" -> 6.3, "sim_ivf_topk" -> 2.5,
       "kb_domain_set" -> 1.6, "kb_histogram_domain" -> 1.6,
       "kb_rule_predictions" -> 0.9, "kb_link_prediction" -> 2.0,
-      "kb_link_prediction_maxplus" -> 2.2)
+      "kb_link_prediction_maxplus" -> 2.2,
+      // r5 additions (BASELINE.md 2026-08-19 20:20 filter run)
+      "kb_witness_subgraph" -> 1.6, "kb_transitive_type_inline" -> 1.3,
+      "kb_domain_set_direct" -> 1.3)
     val defaultFloor = 1.5
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RERUNS", "2").toInt
     val results = sweep.map { case (name, fn) =>
