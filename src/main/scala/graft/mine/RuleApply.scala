@@ -107,8 +107,10 @@ object RuleApply {
    * Scale shape (r4 verdict "what's wrong" #2 — the candidate join was
    * unbounded per ranking key): a hub key with millions of candidates ×
    * many test triples on the same key is never materialized as a pair
-   * set. "Strictly better" counts come from a per-(key, score) HISTOGRAM
-   * of the candidate pool — the join is test × distinct-scores-per-key,
+   * set. The candidate pool is first restricted to the test keys (a
+   * broadcast semi-join — candidates on never-tested keys cannot affect
+   * any rank). "Strictly better" counts come from a per-(key, score)
+   * HISTOGRAM of that pool — the join is test × distinct-scores-per-key,
    * and distinct scores are bounded by the rule count (scores are rule
    * confidences), not the candidate count. Score TIES are an order
    * statistic over the tied set, NOT a join either (a (key, score)
@@ -138,11 +140,22 @@ object RuleApply {
     // for an unranked test triple)
     val scored = t.join(preds.withColumnRenamed("conf", "tconf"),
       Seq("subj", "pred", "obj"), "left")
+    // Only candidates on a key some TEST triple ranks against can ever
+    // reach the final joins (strict joins `ranked` ⊆ test on keys; the
+    // tie output joins back on the full test triple) — so the pool is
+    // semi-joined on the test keys FIRST. The key set is bounded by
+    // |test| and comes from the base test table (no join dependency),
+    // so the semi-join is a broadcast map-side filter over the
+    // prediction scan; the whole-pool histogram + (key, score) window
+    // this replaces measured 3× the steady time at sf0.1 with most
+    // prediction keys never tested.
+    val testKeys = broadcast(t.select(keys.map(col): _*).distinct())
     // filtered candidate pool — known true facts never compete. (The
     // target itself never outranks itself: its own row carries exactly
     // tconf — excluded from the strict branch by >, from the tie branch
     // by cand < entity.)
     val cands = preds
+      .join(testKeys, keys, "left_semi")
       .join(known.select("subj", "pred", "obj"),
         Seq("subj", "pred", "obj"), "left_anti")
       .select(keys.map(col) ++
