@@ -57,8 +57,10 @@ object Bench {
   // degraded": identical code + a 2× probe = ambient, not regression.
   @volatile private var probeSink: Long = 0L
 
-  /** ~1 s of pure-ALU xorshift (core contention / CPU steal). */
-  private def probeAlu(): Double = {
+  /** ~1 s of pure-ALU xorshift (core contention / CPU steal).
+    * `private[graft]` so the probe tools (KBScaleProbe) can stamp their
+    * measurement windows with the SAME calibration the bench uses. */
+  private[graft] def probeAlu(): Double = {
     val (_, sec) = timed {
       var x = 0x9E3779B97F4A7C15L; var i = 0
       while (i < (1 << 30)) {
@@ -78,7 +80,7 @@ object Bench {
 
   /** ~1 s of sequential memory streaming (LLC / memory-channel contention
     * from neighbors — the resource concurrent executors actually share). */
-  private def probeMem(): Double = {
+  private[graft] def probeMem(): Double = {
     val a = probeArray // allocate+fill outside the timed region
     val (_, sec) = timed {
       var pass = 0; var s = 0L
@@ -93,7 +95,7 @@ object Bench {
   }
 
   /** Run both probes; returns the JSON object for checkpoint `at`. */
-  private def probeJson(at: String): String = {
+  private[graft] def probeJson(at: String): String = {
     val alu = probeAlu(); val mem = probeMem()
     f"""{"at":"$at","alu_sec":$alu%.3f,"mem_sec":$mem%.3f}"""
   }

@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.{Sessions, SparkEntry}
+import graft.{Bench, Sessions, SparkEntry}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -127,9 +127,22 @@ object KBScaleProbe {
       // Warm the shared code paths once (JIT/codegen first-touch lands on
       // whichever query runs first otherwise — bench sweep methodology)
       // AND both dirs' persisted triples views, so no single timed query
-      // absorbs the one-time view materialization of its dir.
+      // absorbs the one-time view materialization of its dir. The link
+      // family gets its own warm-up: its first post-materialize invocation
+      // in a probe session was measured at 70-90 s vs an 11 s steady state
+      // on the SAME directory (BASELINE.md §scale-probe caveat) — a
+      // one-time codegen/JIT transient on the widest plan in the sweep,
+      // which a single timed k1 sample would otherwise absorb as a fake
+      // 6-8× "regression".
       timeQuery("kb_stats", base)
       timeQuery("kb_stats", big)
+      timeQuery("kb_link_prediction", base)
+
+      // Ambient calibration checkpoints, same probes the bench embeds
+      // (clean-window references: ALU ≤2.4 s, mem ≤1.1 s — BASELINE.md
+      // §calibration): lets a reader distinguish a degraded host window
+      // from a real super-linear ratio without re-running the probe.
+      val probeStart = Bench.probeJson("post_warmup")
 
       // optional csv filter for re-probing a family after a fix
       val wanted = sys.env.get("SPARK_GRAFT_PROBE_QUERIES")
@@ -150,7 +163,8 @@ object KBScaleProbe {
             s""""$name":{"err":"${e.getClass.getSimpleName}"}"""
         }
       }
-      println(s"""{"probe":"kb_ops_scale","k":$k,"cores":$cores,${results.mkString(",")}}""")
+      val probeEnd = Bench.probeJson("post_sweep")
+      println(s"""{"probe":"kb_ops_scale","k":$k,"cores":$cores,"calibration":[$probeStart,$probeEnd],${results.mkString(",")}}""")
     } finally spark.stop()
   }
 }
