@@ -29,10 +29,24 @@ object Dictionary {
       .union(triples.select(col("pred")))
       .union(triples.select(col("obj")))
       .distinct()
-      .repartitionByRange(Partitions, col("term"))
+    sortedRanks(terms, "term", "id")
+  }
+
+  /** Dense 1-based sorted ranks over a distinct one-column vocabulary —
+    * output-identical to `row_number() OVER (ORDER BY column)` but with
+    * bounded window partitions (range-partition → local rank → tiny
+    * partition-count collect lifts local to global), so it scales to a
+    * billion-row vocabulary where the global window is one task.
+    * Range partitioning orders partitions (every value in pid p sorts
+    * before every value in pid p+1), which is the only invariant the
+    * offset lift needs — sampling-dependent BOUNDARIES cannot change the
+    * result. Returns (column, out). */
+  def sortedRanks(vocab: DataFrame, column: String, out: String): DataFrame = {
+    val terms = vocab
+      .repartitionByRange(Partitions, col(column))
       .withColumn("pid", spark_partition_id())
     val local = terms.withColumn("local_rank",
-      row_number().over(Window.partitionBy("pid").orderBy("term")))
+      row_number().over(Window.partitionBy("pid").orderBy(column)))
     val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     val offsets = counts.scanLeft(0L)(_ + _._2).init
@@ -41,7 +55,7 @@ object Dictionary {
       .createDataFrame(offsets.toSeq.map { case (p, o) => (p, o) })
       .toDF("pid", "offset")
     local.join(broadcast(offsetDF), "pid")
-      .select(col("term"), (col("offset") + col("local_rank")).as("id"))
+      .select(col(column), (col("offset") + col("local_rank")).as(out))
   }
 
   /** triples → (subj_id, pred_id, obj_id); dictionary joins are

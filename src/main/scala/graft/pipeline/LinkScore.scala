@@ -52,16 +52,17 @@ object LinkScore {
       .select("doc_id", "span_idx", "subj", "rel", "obj")
   }
 
-  import org.apache.spark.sql.expressions.Window
-
-  /** Canonical entity → dense id. Vocabulary-sized, so the
-    * single-partition rank window is fine; sorted-order ids make encode
-    * and decode deterministic under any partitioning. Takes the
-    * already-computed best-candidate table so the (windowed) top-1
+  /** Canonical entity → dense id (1-based sorted rank; sorted-order ids
+    * make encode and decode deterministic under any partitioning). At
+    * 10¹² docs the canonical-entity vocabulary is itself billions of
+    * rows, so the rank rides [[graft.kb.Dictionary.sortedRanks]] —
+    * bounded window partitions, output-identical to the naive global
+    * `row_number() OVER (ORDER BY canonical)` an oracle checks with.
+    * Takes the already-computed best-candidate table so the top-1
     * reduction runs once per stage, not once per consumer. */
   def entityDictionary(best: DataFrame): DataFrame =
-    best.select(col("canonical")).distinct()
-      .withColumn("entity_id", row_number().over(Window.orderBy("canonical")).cast("long"))
+    graft.kb.Dictionary.sortedRanks(
+      best.select(col("canonical")).distinct(), "canonical", "entity_id")
 
   /**
    * alias → (canonical, entity_id): the persisted encode/decode catalog
@@ -86,13 +87,18 @@ object LinkScore {
    * strings become fixed 8-byte longs and are never decoded again:
    * decode happens on READ, via [[graft.pipeline.Pipeline.materialized]].
    */
-  def linkEncoded(mentions: DataFrame, aliasDict: DataFrame): DataFrame = {
+  def linkEncoded(mentions: DataFrame, aliasDict: DataFrame,
+      broadcastDict: Boolean = true): DataFrame = {
+    // broadcastDict: the caller's size gate (Pipeline.dictFitsBroadcast)
+    // — an unconditional hint would force a billions-row dictionary onto
+    // the driver; ungated, Catalyst/AQE picks the join strategy
+    val hint: DataFrame => DataFrame = if (broadcastDict) broadcast else identity
     val subj = aliasDict.select(col("alias").as("subj_alias"),
       col("entity_id").as("subj_id"), col("canonical").as("subj"))
     val obj  = aliasDict.select(col("alias").as("obj_alias"), col("entity_id").as("obj_id"))
     mentions
-      .join(broadcast(subj), "subj_alias")
-      .join(broadcast(obj), "obj_alias")
+      .join(hint(subj), "subj_alias")
+      .join(hint(obj), "obj_alias")
       .select(col("doc_id"), col("span_idx"),
         col("subj"), col("subj_id"), col("rel").as("pred"), col("obj_id"))
   }

@@ -22,7 +22,14 @@ import org.apache.spark.sql.functions._
  *    the on-disk layout stays bucketed by subject hash (directory
  *    partition column `bucket`), which later rule-quality joins prune on;
  *  - AQE (adaptive + skew-join) is expected on in the session (Sessions);
- *  - the alias/candidate tables are vocabulary-sized → broadcast joins.
+ *  - the alias/entity dictionary joins are explicitly broadcast ONLY
+ *    below a size gate ([[Pipeline.DictBroadcastMaxBytes]], measured on
+ *    the written stage's parquet bytes): at 10¹² docs the canonical
+ *    vocabulary can itself be billions of rows, and an unconditional
+ *    `broadcast()` hint would OOM the driver exactly when the data gets
+ *    interesting. Above the gate the join is left to Catalyst/AQE
+ *    (shuffle-hash of dictionary vs mention stream) — slower, but it
+ *    completes; the encoded-long payload keeps that shuffle narrow.
  */
 final class Pipeline(
     spark: SparkSession,
@@ -177,7 +184,8 @@ final class Pipeline(
       // — 8 fewer bytes per shuffled row); rows are sorted by bucket
       // after the exchange so the dynamic-partition writer reuses the
       // sort.
-      LinkScore.linkEncoded(mentions, aliasDict)
+      LinkScore.linkEncoded(mentions, aliasDict,
+        broadcastDict = dictFitsBroadcast("alias_map"))
         .withColumn("bucket", pmod(xxhash64(col("subj")), lit(nBuckets)).cast("int"))
         .select(col("doc_id").as("src_doc"), col("span_idx").as("src_span"),
           col("subj_id"), col("pred"), col("obj_id"), col("bucket"))
@@ -196,13 +204,28 @@ final class Pipeline(
   def materialized(): DataFrame = {
     val dict = spark.read.parquet(stageDir("alias_map"))
       .select(col("entity_id"), col("canonical")).distinct()
+    val hint: DataFrame => DataFrame =
+      if (dictFitsBroadcast("alias_map")) broadcast else identity
     spark.read.parquet(stageDir("triples"))
-      .join(broadcast(dict.select(col("entity_id").as("subj_id"),
+      .join(hint(dict.select(col("entity_id").as("subj_id"),
         col("canonical").as("subj"))), "subj_id")
-      .join(broadcast(dict.select(col("entity_id").as("obj_id"),
+      .join(hint(dict.select(col("entity_id").as("obj_id"),
         col("canonical").as("obj"))), "obj_id")
       .select(col("subj"), col("pred"), col("obj"),
         col("src_doc"), col("src_span"), col("bucket"))
+  }
+
+  /** Size gate for the explicit dictionary-broadcast hints: the written
+    * stage's parquet bytes (cheap driver listing of an already-local
+    * metadata view — no data pass) against
+    * [[Pipeline.DictBroadcastMaxBytes]]. A missing dir (stage not yet
+    * written) gates TRUE — it only happens at test scale. */
+  private def dictFitsBroadcast(stage: String): Boolean = {
+    val p  = new org.apache.hadoop.fs.Path(stageDir(stage))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    !fs.exists(p) ||
+      fs.listStatus(p).filter(_.isFile).map(_.getLen).sum <=
+        Pipeline.DictBroadcastMaxBytes
   }
 
   /** The emitted graph as a plain (subj, pred, obj) KB for rule mining. */
@@ -214,4 +237,16 @@ object Pipeline {
     * every stage fingerprint so old checkpoints invalidate explicitly.
     * v2 = entity-id-encoded triples + alias catalog with entity_id. */
   val LayoutVersion = 2
+
+  /** Max written-parquet bytes of the alias/entity dictionary for which
+    * the pipeline still FORCES broadcast joins (above it, Catalyst/AQE
+    * decides — i.e. the dictionary shuffles). 256 MiB compressed ≈ a
+    * low-GB in-memory hash relation: comfortably inside a production
+    * executor/driver budget, far above `autoBroadcastJoinThreshold`'s
+    * conservative 10 MB default — when the alternative is shuffling a
+    * 10¹²-row mention stream, forcing the broadcast is right for every
+    * dictionary that plausibly fits. Override: GRAFT_DICT_BROADCAST_MAX_BYTES. */
+  val DictBroadcastMaxBytes: Long =
+    sys.env.get("GRAFT_DICT_BROADCAST_MAX_BYTES").map(_.toLong)
+      .getOrElse(256L << 20)
 }

@@ -83,6 +83,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(drv == dist)
   }
 
+  test("entity dictionary: scalable ranks == global row_number (skewed, multi-partition)") {
+    // entityDictionary rides Dictionary.sortedRanks (bounded window
+    // partitions); the invariant an external oracle checks is equality
+    // with the naive single-partition `row_number() OVER (ORDER BY ...)`
+    val rng = new scala.util.Random(11)
+    val vocab = (1 to 2000).map(_ => s"ent_${rng.nextInt(700)}")
+    val best = vocab.map(c => (s"alias of $c", c)).toDF("alias", "canonical")
+      .repartition(17)
+    val got = LinkScore.entityDictionary(best).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = vocab.distinct.sorted.zipWithIndex
+      .map { case (c, i) => c -> (i + 1L) }.toMap
+    assert(got == want)
+  }
+
   test("pipeline triples == oracle extraction (P = R = 1.0)") {
     val docs = Corpus.generate(spark, D, V)
     val dir  = Files.createTempDirectory("graft-pr").toString
