@@ -40,9 +40,15 @@ object Dictionary {
     * Range partitioning orders partitions (every value in pid p sorts
     * before every value in pid p+1), which is the only invariant the
     * offset lift needs — sampling-dependent BOUNDARIES cannot change the
-    * result. Returns (column, out). */
+    * result. Returns (column, out).
+    *
+    * The vocabulary is localCheckpoint'd first: range SAMPLING is its own
+    * pass over the input, so an uncheckpointed vocab derived from a large
+    * scan (the 3-column KB union here, the CC-derived alias map in the
+    * pipeline) would be recomputed once for the sampler and once for the
+    * shuffle — on a 100-TB KB that is one full scan saved per build. */
   def sortedRanks(vocab: DataFrame, column: String, out: String): DataFrame = {
-    val terms = vocab
+    val terms = vocab.localCheckpoint(true)
       .repartitionByRange(Partitions, col(column))
       .withColumn("pid", spark_partition_id())
     val local = terms.withColumn("local_rank",
