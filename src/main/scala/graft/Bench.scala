@@ -94,10 +94,60 @@ object Bench {
     sec
   }
 
-  /** Run both probes; returns the JSON object for checkpoint `at`. */
+  /** 4-thread variant of probeAlu: IDENTICAL per-thread work, wall-clock
+    * until all threads join. On a clean host each thread gets its own
+    * idle core, so this reads ≈ probe_alu_sec; ambient contention that
+    * only materializes at ≥4 concurrent cores — the class that inflates
+    * the thread pair's sec_4n while every 1-thread probe reads clean
+    * (see the 2026-08-20 09:11 artifact: probes 2.0/0.8-0.9, eff
+    * 0.53-0.71) — shows up here directly as alu4 ≫ alu. */
+  private[graft] def probeAluPar(n: Int = 4): Double = {
+    val (_, sec) = timed {
+      val ts = (0 until n).map { t =>
+        new Thread(() => {
+          var x = 0x9E3779B97F4A7C15L + t; var i = 0
+          while (i < (1 << 30)) {
+            x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+          }
+          probeSink = x
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    sec
+  }
+
+  /** 4-thread variant of probeMem: each thread streams the SAME shared
+    * 256 MB array (read-only, far larger than LLC, so all four stay
+    * DRAM-bound) with probeMem's per-thread pass count. Clean hosts have
+    * the bandwidth headroom to run ≈ probe_mem_sec; neighbor pressure on
+    * the shared memory channels inflates this probe 4× harder than the
+    * 1-thread one. */
+  private[graft] def probeMemPar(n: Int = 4): Double = {
+    val a = probeArray
+    val (_, sec) = timed {
+      val ts = (0 until n).map { _ =>
+        new Thread(() => {
+          var pass = 0; var s = 0L
+          while (pass < 24) {
+            var i = 0
+            while (i < a.length) { s += a(i); i += 1 }
+            pass += 1
+          }
+          probeSink = s
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+    }
+    sec
+  }
+
+  /** Run all four probes; returns the JSON object for checkpoint `at`. */
   private[graft] def probeJson(at: String): String = {
     val alu = probeAlu(); val mem = probeMem()
-    f"""{"at":"$at","alu_sec":$alu%.3f,"mem_sec":$mem%.3f}"""
+    val alu4 = probeAluPar(); val mem4 = probeMemPar()
+    f"""{"at":"$at","alu_sec":$alu%.3f,"mem_sec":$mem%.3f,""" +
+      f""""alu4_sec":$alu4%.3f,"mem4_sec":$mem4%.3f}"""
   }
 
   /** Per-round ambient fields (no `at` label): run immediately before a
@@ -109,8 +159,11 @@ object Bench {
     * Clean-window references live in BASELINE.md §calibration. */
   private def roundProbeFields(): (String, Boolean) = {
     val alu = probeAlu(); val mem = probeMem()
-    (f""""probe_alu_sec":$alu%.3f,"probe_mem_sec":$mem%.3f,""",
-      alu > ProbeAluDegraded || mem > ProbeMemDegraded)
+    val alu4 = probeAluPar(); val mem4 = probeMemPar()
+    (f""""probe_alu_sec":$alu%.3f,"probe_mem_sec":$mem%.3f,""" +
+       f""""probe_alu4_sec":$alu4%.3f,"probe_mem4_sec":$mem4%.3f,""",
+      alu > ProbeAluDegraded || mem > ProbeMemDegraded ||
+        alu4 > ProbeAlu4Degraded || mem4 > ProbeMem4Degraded)
   }
 
   /** Probe thresholds marking a round's window as degraded: ~1.4× the
@@ -123,6 +176,18 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_PROBE_ALU_DEGRADED", "3.3").toDouble
   private val ProbeMemDegraded =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM_DEGRADED", "1.55").toDouble
+
+  /** 4-thread probe thresholds. Clean-window band measured 2026-08-20
+    * 09:35 (two probeJson samples, window also clean on the 1-thread
+    * band): alu4 2.06-2.10 s ≈ alu (each thread on its own idle core),
+    * mem4 0.85-1.17 s ≈ mem (bandwidth headroom absorbs the 4× fan-out).
+    * Thresholds sit ~1.5-1.9× the clean top — slightly looser than the
+    * 1-thread 1.4× because only two clean samples exist yet; tighten as
+    * official artifacts accumulate a band. */
+  private val ProbeAlu4Degraded =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_ALU4_DEGRADED", "3.2").toDouble
+  private val ProbeMem4Degraded =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM4_DEGRADED", "2.2").toDouble
 
   /**
    * Run one parallelism level in its own JVM pinned to exactly `cores`
