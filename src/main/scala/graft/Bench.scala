@@ -142,6 +142,29 @@ object Bench {
     sec
   }
 
+  /** Live-window sampler: runs 1-thread ALU probes in a loop on the
+    * UNPINNED driver while `f` (which forks a taskset-pinned level JVM)
+    * executes, and returns f's result plus the MAX single probe time
+    * observed. The level JVM owns its pinned cores and the driver
+    * schedules on the remaining ones, so the sampler reads ambient burst
+    * contention DURING the measurement window itself — the class the
+    * before-round probes cannot see (2026-08-20 10:30 artifact: all
+    * probes clean immediately before a round whose sec_4n read 1.6× its
+    * floor; a 2 s sample misses bursts that land inside a 27-37 s
+    * window). ALU only: a pure-register loop adds no memory-bandwidth
+    * pressure that could perturb the level under measurement. Reads 0.0
+    * when the window was too short for one full sample. */
+  private def sampledAlu[T](f: => T): (T, Double) = {
+    @volatile var stop = false
+    @volatile var maxSec = 0.0
+    val t = new Thread(() => {
+      while (!stop) { val s = probeAlu(); if (s > maxSec) maxSec = s }
+    })
+    t.setDaemon(true); t.start()
+    val r = try f finally { stop = true; t.join() }
+    (r, maxSec)
+  }
+
   /** Run all four probes; returns the JSON object for checkpoint `at`. */
   private[graft] def probeJson(at: String): String = {
     val alu = probeAlu(); val mem = probeMem()
@@ -275,7 +298,11 @@ object Bench {
     // throughput headline and the floor-ratio cross-check.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val innerRepsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS", "2").toInt
-    val innerReps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS_4N", "3").toInt
+    // 4 reps at the 4N level (vs 2 at N): the level is short enough that
+    // one ambient burst can swallow every rep — a 4th ~27 s rep buys one
+    // more chance at a clean min for ~3 min of extra wall across a run
+    // (the N level is 3× longer per rep, so bursts average out there)
+    val innerReps4N = sys.env.getOrElse("SPARK_GRAFT_BENCH_INNER_REPS_4N", "4").toInt
 
     /** One N → 4N pinned pair measured over `reps` interleaved JVM
       * rounds; returns the JSON fragment for key `label`.
@@ -291,10 +318,14 @@ object Bench {
       * rounds stay in the JSON — nothing is hidden, the estimator is
       * just given one more clean sample. */
     def measurePair(label: String, nCores: Int): String = {
-      def oneRound() =
-        (roundProbeFields(),
-          pipelineRun(nCores, docs, vocab, innerRepsN),
-          pipelineRun(4 * nCores, docs, vocab, innerReps4N))
+      def oneRound() = {
+        val probe = roundProbeFields()
+        val (runN, duringN) =
+          sampledAlu(pipelineRun(nCores, docs, vocab, innerRepsN))
+        val (run4N, during4N) =
+          sampledAlu(pipelineRun(4 * nCores, docs, vocab, innerReps4N))
+        (probe, runN, run4N, duringN, during4N)
+      }
       var pairs = (1 to reps).map(_ => oneRound())
       // recorded per-level floors (best clean-window times, BASELINE.md)
       // complement the relative rule: when EVERY round of a run lands in
@@ -306,10 +337,12 @@ object Bench {
       val degraded = {
         val minN  = pairs.map(_._2._2).min
         val min4N = pairs.map(_._3._2).min
-        pairs.count { case ((_, probeBad), (_, sn), (_, s4n)) =>
+        pairs.count { case ((_, probeBad), (_, sn), (_, s4n), dN, d4N) =>
           probeBad || (sn > 1.4 * minN && s4n > 1.4 * min4N) ||
           (floorN > 0 && sn > 1.5 * floorN) ||
-          (floor4N > 0 && s4n > 1.5 * floor4N) }
+          (floor4N > 0 && s4n > 1.5 * floor4N) ||
+          // the live sampler saw a burst inside either level's window
+          dN > ProbeAluDegraded || d4N > ProbeAluDegraded }
       }
       val remeasured = reps > 1 && degraded > 0
       if (remeasured) pairs = pairs :+ oneRound()
@@ -317,14 +350,16 @@ object Bench {
       val t4 = pairs.head._3._1
       val s1 = pairs.map(_._2._2).min
       val s4 = pairs.map(_._3._2).min
-      val roundEffs = pairs.map { case (_, (_, sn), (_, s4n)) => sn / s4n / 4.0 }
+      val roundEffs = pairs.map { case (_, (_, sn), (_, s4n), _, _) => sn / s4n / 4.0 }
       // median; for even round counts take the LOWER middle (conservative)
       val effMedian = roundEffs.sorted.apply((roundEffs.size - 1) / 2)
       val tpsN  = t1 / s1
       val tps4N = t4 / s4
       val effFloor = (tps4N / tpsN) / 4.0
-      val roundsJson = pairs.zip(roundEffs).map { case (((probe, _), (_, sn), (_, s4n)), e) =>
-        f"""{$probe"sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
+      val roundsJson = pairs.zip(roundEffs).map {
+        case (((probe, _), (_, sn), (_, s4n), dN, d4N), e) =>
+          f"""{$probe"during_alu_n":$dN%.3f,"during_alu_4n":$d4N%.3f,""" +
+            f""""sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"docs":$docs,"triples":$t4,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
         f""""sec_n":$s1%.3f,"sec_4n":$s4%.3f,"tps_n":$tpsN%.1f,"tps_4n":$tps4N%.1f,""" +
@@ -366,28 +401,32 @@ object Bench {
       // ratio fair) so `procs` concurrent JVMs can't swap the host.
       val procMem = Some(sys.env.getOrElse("SPARK_GRAFT_PROC_MEM", "4g"))
       val shard = docs / procs
-      def oneRound(): ((String, Boolean), Double, Seq[Double], Double) = {
+      def oneRound()
+          : ((String, Boolean), Double, Seq[Double], Double, Double, Double) = {
         val probe = roundProbeFields()
-        val (_, solo) = pipelineRun(coresEach, shard, vocab, innerRepsN,
-          memOverride = procMem)
+        val ((_, solo), duringSolo) = sampledAlu(
+          pipelineRun(coresEach, shard, vocab, innerRepsN,
+            memOverride = procMem))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(procs)
-        val concSecs = try {
-          import scala.jdk.CollectionConverters._
-          val tasks = (0 until procs).map { i =>
-            new java.util.concurrent.Callable[Double] {
-              def call(): Double =
-                pipelineRun(coresEach, shard, vocab, innerRepsN,
-                  pinOffset = i * coresEach, memOverride = procMem)._2
+        val (concSecs, duringConc) = sampledAlu {
+          try {
+            import scala.jdk.CollectionConverters._
+            val tasks = (0 until procs).map { i =>
+              new java.util.concurrent.Callable[Double] {
+                def call(): Double =
+                  pipelineRun(coresEach, shard, vocab, innerRepsN,
+                    pinOffset = i * coresEach, memOverride = procMem)._2
+              }
             }
-          }
-          pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
-        } finally pool.shutdown()
+            pool.invokeAll(tasks.asJava).asScala.map(_.get()).toSeq
+          } finally pool.shutdown()
+        }
         // AGGREGATE-throughput ratio: Σ shard rates vs procs × solo rate.
         // (max-shard would let a single ambient CPU-steal spike on one
         // core pair masquerade as contention; the sum is what a cluster's
         // job throughput actually is)
         val eff = solo * concSecs.map(1.0 / _).sum / procs
-        (probe, solo, concSecs, eff)
+        (probe, solo, concSecs, eff, duringSolo, duringConc)
       }
       var roundRows = (1 to rounds).map(_ => oneRound())
       // Contamination defense (same idea as measurePair): the solo rep is
@@ -409,14 +448,17 @@ object Bench {
           // (clean rounds measure 1.15-1.35×, the degraded official-r4
           // round measured 2.28×; genuine contention that extreme would
           // still dominate the appended round and stay visible)
-          concMedian > 1.8 * r._2
+          concMedian > 1.8 * r._2 ||
+          // the live sampler saw a burst inside either phase's window
+          r._5 > ProbeAluDegraded || r._6 > ProbeAluDegraded
         }
       }
       if (rounds > 1 && degraded > 0) roundRows = roundRows :+ oneRound()
       val effMedian = roundRows.map(_._4).sorted.apply((roundRows.size - 1) / 2)
-      val rjs = roundRows.map { case ((probe, _), s0, cs, e) =>
+      val rjs = roundRows.map { case ((probe, _), s0, cs, e, dS, dC) =>
         val csJson = cs.map(c => f"$c%.3f").mkString("[", ",", "]")
-        f"""{$probe"sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
+        f"""{$probe"during_alu_solo":$dS%.3f,"during_alu_conc":$dC%.3f,""" +
+          f""""sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"procs":$procs,"cores_each":$coresEach,"docs_per_proc":$shard,""" +
         f""""rounds":$rjs,"degraded_rounds":$degraded,""" +
