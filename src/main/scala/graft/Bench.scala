@@ -155,14 +155,40 @@ object Bench {
     * pressure that could perturb the level under measurement. Reads 0.0
     * when the window was too short for one full sample. */
   private def sampledAlu[T](f: => T): (T, Double) = {
+    val (r, alu, _) = sampledWindow(f)
+    (r, alu)
+  }
+
+  /** Full live-window sampler: alternates a ~2 s ALU probe with ONE
+    * timed pass over the shared 256 MB array (~0.04-0.05 s clean — a
+    * <3% bandwidth duty cycle, low enough not to perturb the level
+    * under measurement, unlike the 24-pass probeMem which would).
+    * Returns (result, max ALU probe sec, max single-pass stream sec).
+    * The 11:36 artifact showed sec_4n inflation with CLEAN in-window
+    * ALU — bandwidth/LLC-shaped contention; this closes that last
+    * diagnostic blind spot. Stream max is 0.0 if the window was too
+    * short for one sample. */
+  private def sampledWindow[T](f: => T): (T, Double, Double) = {
     @volatile var stop = false
-    @volatile var maxSec = 0.0
+    @volatile var maxAlu = 0.0
+    @volatile var maxMem1p = 0.0
+    val a = probeArray // force allocation outside the window
     val t = new Thread(() => {
-      while (!stop) { val s = probeAlu(); if (s > maxSec) maxSec = s }
+      while (!stop) {
+        val s = probeAlu(); if (s > maxAlu) maxAlu = s
+        if (!stop) {
+          val (_, m) = timed {
+            var i = 0; var acc = 0L
+            while (i < a.length) { acc += a(i); i += 1 }
+            probeSink = acc
+          }
+          if (m > maxMem1p) maxMem1p = m
+        }
+      }
     })
     t.setDaemon(true); t.start()
     val r = try f finally { stop = true; t.join() }
-    (r, maxSec)
+    (r, maxAlu, maxMem1p)
   }
 
   /** Run all four probes; returns the JSON object for checkpoint `at`. */
@@ -211,6 +237,14 @@ object Bench {
     sys.env.getOrElse("SPARK_GRAFT_PROBE_ALU4_DEGRADED", "3.2").toDouble
   private val ProbeMem4Degraded =
     sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM4_DEGRADED", "2.2").toDouble
+
+  /** In-window single-pass stream threshold (sampledWindow): one clean
+    * pass over the 256 MB array runs ~0.036-0.046 s (probeMem / 24);
+    * the flag fires only on a clear bandwidth burst, ~3× clean, to keep
+    * a one-off 50 ms scheduler hiccup of the sampler thread from
+    * flagging a healthy round. */
+  private val ProbeMem1pDegraded =
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_MEM1P_DEGRADED", "0.15").toDouble
 
   /**
    * Run one parallelism level in its own JVM pinned to exactly `cores`
@@ -320,11 +354,11 @@ object Bench {
     def measurePair(label: String, nCores: Int): String = {
       def oneRound() = {
         val probe = roundProbeFields()
-        val (runN, duringN) =
-          sampledAlu(pipelineRun(nCores, docs, vocab, innerRepsN))
-        val (run4N, during4N) =
-          sampledAlu(pipelineRun(4 * nCores, docs, vocab, innerReps4N))
-        (probe, runN, run4N, duringN, during4N)
+        val (runN, duringN, duringMemN) =
+          sampledWindow(pipelineRun(nCores, docs, vocab, innerRepsN))
+        val (run4N, during4N, duringMem4N) =
+          sampledWindow(pipelineRun(4 * nCores, docs, vocab, innerReps4N))
+        (probe, runN, run4N, (duringN, duringMemN), (during4N, duringMem4N))
       }
       var pairs = (1 to reps).map(_ => oneRound())
       // recorded per-level floors (best clean-window times, BASELINE.md)
@@ -337,12 +371,13 @@ object Bench {
       val degraded = {
         val minN  = pairs.map(_._2._2).min
         val min4N = pairs.map(_._3._2).min
-        pairs.count { case ((_, probeBad), (_, sn), (_, s4n), dN, d4N) =>
+        pairs.count { case ((_, probeBad), (_, sn), (_, s4n), (dN, dmN), (d4N, dm4N)) =>
           probeBad || (sn > 1.4 * minN && s4n > 1.4 * min4N) ||
           (floorN > 0 && sn > 1.5 * floorN) ||
           (floor4N > 0 && s4n > 1.5 * floor4N) ||
           // the live sampler saw a burst inside either level's window
-          dN > ProbeAluDegraded || d4N > ProbeAluDegraded }
+          dN > ProbeAluDegraded || d4N > ProbeAluDegraded ||
+          dmN > ProbeMem1pDegraded || dm4N > ProbeMem1pDegraded }
       }
       val remeasured = reps > 1 && degraded > 0
       if (remeasured) pairs = pairs :+ oneRound()
@@ -357,8 +392,9 @@ object Bench {
       val tps4N = t4 / s4
       val effFloor = (tps4N / tpsN) / 4.0
       val roundsJson = pairs.zip(roundEffs).map {
-        case (((probe, _), (_, sn), (_, s4n), dN, d4N), e) =>
+        case (((probe, _), (_, sn), (_, s4n), (dN, dmN), (d4N, dm4N)), e) =>
           f"""{$probe"during_alu_n":$dN%.3f,"during_alu_4n":$d4N%.3f,""" +
+            f""""during_mem1p_n":$dmN%.3f,"during_mem1p_4n":$dm4N%.3f,""" +
             f""""sec_n":$sn%.3f,"sec_4n":$s4n%.3f,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"docs":$docs,"triples":$t4,"cores_n":$nCores,"cores_4n":${4 * nCores},""" +
@@ -402,13 +438,14 @@ object Bench {
       val procMem = Some(sys.env.getOrElse("SPARK_GRAFT_PROC_MEM", "4g"))
       val shard = docs / procs
       def oneRound()
-          : ((String, Boolean), Double, Seq[Double], Double, Double, Double) = {
+          : ((String, Boolean), Double, Seq[Double], Double,
+             (Double, Double), (Double, Double)) = {
         val probe = roundProbeFields()
-        val ((_, solo), duringSolo) = sampledAlu(
+        val ((_, solo), duringSolo, duringMemSolo) = sampledWindow(
           pipelineRun(coresEach, shard, vocab, innerRepsN,
             memOverride = procMem))
         val pool = java.util.concurrent.Executors.newFixedThreadPool(procs)
-        val (concSecs, duringConc) = sampledAlu {
+        val (concSecs, duringConc, duringMemConc) = sampledWindow {
           try {
             import scala.jdk.CollectionConverters._
             val tasks = (0 until procs).map { i =>
@@ -426,7 +463,8 @@ object Bench {
         // core pair masquerade as contention; the sum is what a cluster's
         // job throughput actually is)
         val eff = solo * concSecs.map(1.0 / _).sum / procs
-        (probe, solo, concSecs, eff, duringSolo, duringConc)
+        (probe, solo, concSecs, eff,
+          (duringSolo, duringMemSolo), (duringConc, duringMemConc))
       }
       var roundRows = (1 to rounds).map(_ => oneRound())
       // Contamination defense (same idea as measurePair): the solo rep is
@@ -450,14 +488,16 @@ object Bench {
           // still dominate the appended round and stay visible)
           concMedian > 1.8 * r._2 ||
           // the live sampler saw a burst inside either phase's window
-          r._5 > ProbeAluDegraded || r._6 > ProbeAluDegraded
+          r._5._1 > ProbeAluDegraded || r._6._1 > ProbeAluDegraded ||
+          r._5._2 > ProbeMem1pDegraded || r._6._2 > ProbeMem1pDegraded
         }
       }
       if (rounds > 1 && degraded > 0) roundRows = roundRows :+ oneRound()
       val effMedian = roundRows.map(_._4).sorted.apply((roundRows.size - 1) / 2)
-      val rjs = roundRows.map { case ((probe, _), s0, cs, e, dS, dC) =>
+      val rjs = roundRows.map { case ((probe, _), s0, cs, e, (dS, dmS), (dC, dmC)) =>
         val csJson = cs.map(c => f"$c%.3f").mkString("[", ",", "]")
         f"""{$probe"during_alu_solo":$dS%.3f,"during_alu_conc":$dC%.3f,""" +
+          f""""during_mem1p_solo":$dmS%.3f,"during_mem1p_conc":$dmC%.3f,""" +
           f""""sec_solo":$s0%.3f,"sec_concurrent":$csJson,"eff":$e%.3f}"""
       }.mkString("[", ",", "]")
       f""""$label":{"procs":$procs,"cores_each":$coresEach,"docs_per_proc":$shard,""" +
