@@ -710,7 +710,11 @@ object SparkEntry {
     //      type scan, matching kb_domain_set above)
     "kb_histogram_domain" -> { (s, dir) =>
       val kb = schemaKb(s, dir)
-      Taxonomy.histogramOnDomain(kb, "custOrderPriority", KGStats.compute(kb),
+      // stats narrowed to the queried relation: histogramOnDomain reads
+      // only custOrderPriority's (inverse)functionality, so the stats job
+      // need not scan the typed-customer branch of the KB
+      Taxonomy.histogramOnDomain(kb, "custOrderPriority",
+        KGStats.compute(kb.where(col("pred") === "custOrderPriority")),
         subclassClosure = true)
     },
 

@@ -90,11 +90,38 @@ object Dedup {
           .where(col("dfc") <= maxShingleDF)
           .select("source", "ng")
         val capped = sh.join(dfc, Seq("source", "ng"), "left_semi")
-        val cand = capped.as("a").join(capped.as("b"),
+        // Shared-CAPPED-shingle count per pair: shingles are distinct per
+        // doc, so each shared capped shingle is exactly one joined row —
+        // `lb` IS |A∩B ∩ capped|, a LOWER bound on the true intersection
+        // (same shuffle the old `.distinct()` paid, one count extra).
+        val lb = capped.as("a").join(capped.as("b"),
             col("a.source") === col("b.source") && col("a.ng") === col("b.ng") &&
               col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .distinct()
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("lb"))
+        // Candidate pruning by a SOUND jaccard upper bound (guide §2.3 —
+        // shuffle fewer bytes into the expensive verify): the true
+        // intersection I = lb + |shared shingles above the cap| ≤
+        // lb + min(hotA, hotB), and jaccard = I/(szA+szB−I) is monotone
+        // in I, so pairs whose bound sits under the threshold can never
+        // pass the exact filter — dropping them changes nothing (the
+        // survivors are still verified EXACTLY below). Measured at sf0.1:
+        // 512,430 candidate pairs → 7 survivors; the 26M-row verify join
+        // was >70% of the whole query.
+        val hot = sh.join(dfc, Seq("source", "ng"), "left_anti")
+          .groupBy("doc_id").agg(count(lit(1)).as("hot"))
+        val cand = lb
+          .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("__sza")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("__szb")), "doc_b")
+          .join(hot.select(col("doc_id").as("doc_a"), col("hot").as("__ha")),
+            Seq("doc_a"), "left")
+          .join(hot.select(col("doc_id").as("doc_b"), col("hot").as("__hb")),
+            Seq("doc_b"), "left")
+          .withColumn("__ub", col("lb") +
+            least(coalesce(col("__ha"), lit(0L)), coalesce(col("__hb"), lit(0L))))
+          .where(col("__ub").cast("double") /
+            (col("__sza") + col("__szb") - col("__ub")) >= minJaccard)
+          .select("doc_a", "doc_b")
         // phase 2: exact intersection over the FULL shingle sets,
         // restricted to candidates (shuffles on doc ids, never on the
         // hot shingle)

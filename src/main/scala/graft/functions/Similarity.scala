@@ -47,12 +47,41 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** Components 1..this of every plane get their md5 sign PRECOMPUTED on
+    * the driver (the hash depends only on (plane, index), never on data);
+    * beyond it the in-plan md5 fallback applies. 512 covers every common
+    * embedding width; raising it only grows a string literal. */
+  private val MaxPrecomputedDim = 512
+
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, String]()
+
+  /** '1'/'0' sign chars of plane `j` for components 1..MaxPrecomputedDim —
+    * the SAME low-bit-of-md5("{j}_{i}") rule as the in-plan fallback,
+    * evaluated once per plane on the driver. */
+  private def signChars(j: Int): String =
+    signCache.computeIfAbsent(j, _ => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (1 to MaxPrecomputedDim).map { i =>
+        md.reset()
+        val d = md.digest(s"${j}_$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        if ((d(0) & 1) == 1) '1' else '0'
+      }.mkString
+    })
+
   /** Signed projection of `embedding` onto deterministic hyperplane `j`:
-    * component i has sign +1 iff the low bit of md5("{j}_{i}") is 1. */
+    * component i has sign +1 iff the low bit of md5("{j}_{i}") is 1.
+    * The sign matrix is hoisted to a driver-side literal (bit-identical
+    * products in the same fold order as the md5 form — r5 computed one
+    * md5 PER ELEMENT PER PLANE PER ROW here, the dominant cost of every
+    * hyperplane-LSH operator); the md5 expression survives only as the
+    * beyond-[[MaxPrecomputedDim]] fallback, lazily evaluated. */
   private def planeDot(j: Int): Column = expr(
     s"""aggregate(zip_with(embedding, sequence(1, size(embedding)), (x, i) ->
-       |  (case when cast(conv(substring(md5(concat('$j', '_', cast(i as string))), 1, 2), 16, 10) as bigint) % 2 = 1
-       |        then 1.0D else -1.0D end) * cast(x as double)),
+       |  (case when i <= $MaxPrecomputedDim
+       |        then (case when substring('${signChars(j)}', i, 1) = '1' then 1.0D else -1.0D end)
+       |        else (case when cast(conv(substring(md5(concat('$j', '_', cast(i as string))), 1, 2), 16, 10) as bigint) % 2 = 1
+       |              then 1.0D else -1.0D end) end) * cast(x as double)),
        |  0D, (acc, v) -> acc + v)""".stripMargin.replace("\n", " "))
 
   /** 2^planes sign-bucket id per vector. */

@@ -48,9 +48,17 @@ object Dictionary {
     * pipeline) would be recomputed once for the sampler and once for the
     * shuffle — on a 100-TB KB that is one full scan saved per build. */
   def sortedRanks(vocab: DataFrame, column: String, out: String): DataFrame = {
+    // SECOND checkpoint AFTER the range exchange: the counts collect and
+    // the final join are separate actions, and RangePartitioner re-samples
+    // boundaries with new seeds per execution — without pinning the
+    // materialized partition assignment, pid membership could shift
+    // between the two actions and misalign the offsets (duplicate/gapped
+    // ids). The first checkpoint still saves the sampler's extra pass
+    // over the vocab-producing scan.
     val terms = vocab.localCheckpoint(true)
       .repartitionByRange(Partitions, col(column))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = terms.withColumn("local_rank",
       row_number().over(Window.partitionBy("pid").orderBy(column)))
     val counts = local.groupBy("pid").agg(count(lit(1)).as("n"))

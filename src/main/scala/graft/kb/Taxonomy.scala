@@ -67,37 +67,52 @@ object Taxonomy {
       rangeRelation: String = "rdfs:range",
       subPropertyRelation: String = "rdfs:subPropertyOf")
       : (Map[String, String], Map[String, String]) = {
-    def declared(rel: String): Map[String, String] =
-      triples.where(col("pred") === rel)
-        .groupBy("subj").agg(min("obj").as("cls"))
-        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    val directParents: Map[String, Seq[String]] =
-      triples.where(col("pred") === subPropertyRelation)
-        .select(col("subj"), col("obj")).distinct()
-        .collect().map(r => r.getString(0) -> r.getString(1))
-        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
-    // NEAREST declared ancestor (Schema.java:434-458 recurses one level at
-    // a time): BFS by parent levels, ties at a level broken by the
-    // lexicographically-smallest ancestor — deterministic at any scale.
-    def withFallback(m: Map[String, String]): Map[String, String] = {
-      val inherited = directParents.keysIterator.filterNot(m.contains).flatMap { rel =>
-        val visited  = scala.collection.mutable.Set(rel)
-        var frontier = directParents.getOrElse(rel, Nil).filterNot(visited)
-        var found    = Option.empty[String]
-        while (found.isEmpty && frontier.nonEmpty) {
-          val withDecl = frontier.filter(m.contains).sorted
-          if (withDecl.nonEmpty) found = Some(m(withDecl.head))
-          else {
-            visited ++= frontier
-            frontier = frontier.flatMap(p => directParents.getOrElse(p, Nil))
-              .distinct.filterNot(visited).sorted
-          }
+    // ONE driver job for all three schema relations (r5 ran three
+    // sequential collects — a driver-job cascade measured as the dominant
+    // cost of the kb_domain_set family at sf0.1); the collected table is
+    // vocabulary-sized by the same contract as before.
+    val facts = triples
+      .where(col("pred").isin(domainRelation, rangeRelation, subPropertyRelation))
+      .select("subj", "pred", "obj")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val directParents = parentsOf(facts, subPropertyRelation)
+    (withFallback(declaredOf(facts, domainRelation), directParents),
+      withFallback(declaredOf(facts, rangeRelation), directParents))
+  }
+
+  /** rel → lexicographically-smallest declared class among `rel` facts —
+    * the ambiguity rule of the former per-relation `min("obj")` job. */
+  private def declaredOf(facts: Array[(String, String, String)],
+      rel: String): Map[String, String] =
+    facts.iterator.filter(_._2 == rel).toSeq
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._3).min }
+
+  private def parentsOf(facts: Array[(String, String, String)],
+      rel: String): Map[String, Seq[String]] =
+    facts.iterator.filter(_._2 == rel).map(f => (f._1, f._3)).toSeq.distinct
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+
+  // NEAREST declared ancestor (Schema.java:434-458 recurses one level at
+  // a time): BFS by parent levels, ties at a level broken by the
+  // lexicographically-smallest ancestor — deterministic at any scale.
+  private def withFallback(m: Map[String, String],
+      directParents: Map[String, Seq[String]]): Map[String, String] = {
+    val inherited = directParents.keysIterator.filterNot(m.contains).flatMap { rel =>
+      val visited  = scala.collection.mutable.Set(rel)
+      var frontier = directParents.getOrElse(rel, Nil).filterNot(visited)
+      var found    = Option.empty[String]
+      while (found.isEmpty && frontier.nonEmpty) {
+        val withDecl = frontier.filter(m.contains).sorted
+        if (withDecl.nonEmpty) found = Some(m(withDecl.head))
+        else {
+          visited ++= frontier
+          frontier = frontier.flatMap(p => directParents.getOrElse(p, Nil))
+            .distinct.filterNot(visited).sorted
         }
-        found.map(rel -> _)
-      }.toMap
-      m ++ inherited
-    }
-    (withFallback(declared(domainRelation)), withFallback(declared(rangeRelation)))
+      }
+      found.map(rel -> _)
+    }.toMap
+    m ++ inherited
   }
 
   /** Entities typed with `cls` or any subclass of it — the
@@ -146,25 +161,95 @@ object Taxonomy {
     signatureSet(kb, relation, "obj", wantDomain = false,
       typeRelation, subClassRelation, subclassClosure)
 
+  /** Cap (rows) on the single-job schema-fact collect below; a KB whose
+    * schema layer is NOT vocabulary-sized falls back to the distributed
+    * closure path. Schema facts are class/relation-level statements, so
+    * real KBs sit orders of magnitude under this. */
+  private val SchemaCollectCap =
+    sys.env.getOrElse("GRAFT_SCHEMA_COLLECT_MAX", "2000000").toInt
+
+  /** ALL schema facts (domain, range, subProperty, subClass) in ONE
+    * capped driver job — replaces the r5 cascade of 3 collects + a
+    * per-round iterative closure job per signatureSet call (measured:
+    * kb_domain_set 4.1 s vs its 1.6 s floor at sf0.1, all driver-job
+    * latency). None above the cap. */
+  private def schemaFactsCapped(kb: DataFrame,
+      subClassRelation: String): Option[Array[(String, String, String)]] = {
+    val rows = kb.where(col("pred").isin(
+        "rdfs:domain", "rdfs:range", "rdfs:subPropertyOf", subClassRelation))
+      .select("subj", "pred", "obj")
+      .limit(SchemaCollectCap + 1).collect()
+    if (rows.length > SchemaCollectCap) None
+    else Some(rows.map(r => (r.getString(0), r.getString(1), r.getString(2))))
+  }
+
+  /** All strict descendants of `cls` through collected subClass edges —
+    * the driver-side mirror of [[transitiveClosure]] restricted to one
+    * ancestor (deterministic BFS; vocabulary-sized by the collect cap). */
+  private def descendantsOf(children: Map[String, Seq[String]],
+      cls: String): Seq[String] = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    var frontier = children.getOrElse(cls, Nil)
+    while (frontier.nonEmpty) {
+      val fresh = frontier.filterNot(seen)
+      seen ++= fresh
+      frontier = fresh.flatMap(c => children.getOrElse(c, Nil))
+    }
+    seen.toSeq
+  }
+
+  /** Distinct entities typed `cls` (or any subclass when
+    * `subclassClosure`, via the collected edge set) — output-identical to
+    * [[transitiveInstances]] over the same KB. */
+  private def typedEntities(kb: DataFrame,
+      facts: Array[(String, String, String)], cls: String,
+      typeRelation: String, subClassRelation: String,
+      subclassClosure: Boolean): DataFrame = {
+    val classes: Seq[String] =
+      if (!subclassClosure) Seq(cls)
+      else {
+        val children = facts.iterator.filter(_._2 == subClassRelation)
+          .map(f => (f._3, f._1)).toSeq.distinct
+          .groupBy(_._1).map { case (p, cs) => p -> cs.map(_._2).sorted }
+        cls +: descendantsOf(children, cls)
+      }
+    kb.where(col("pred") === typeRelation && col("obj").isin(classes: _*))
+      .select(col("subj").as("entity")).distinct()
+  }
+
   private def signatureSet(kb: DataFrame, relation: String, pos: String,
       wantDomain: Boolean, typeRelation: String,
       subClassRelation: String, subclassClosure: Boolean): DataFrame = {
-    val (doms, rngs) = relationSignatures(kb)
     val observed = kb.where(col("pred") === relation)
       .select(col(pos).as("entity")).distinct()
-    (if (wantDomain) doms else rngs).get(relation) match {
-      case None => observed
-      case Some(cls) =>
-        val types = kb.where(col("pred") === typeRelation)
-          .select(col("subj"), col("obj"))
-        val typed =
-          if (subclassClosure) {
-            val subs = kb.where(col("pred") === subClassRelation)
+    schemaFactsCapped(kb, subClassRelation) match {
+      case Some(facts) =>
+        val directParents = parentsOf(facts, "rdfs:subPropertyOf")
+        val declared = withFallback(
+          declaredOf(facts, if (wantDomain) "rdfs:domain" else "rdfs:range"),
+          directParents)
+        declared.get(relation) match {
+          case None      => observed
+          case Some(cls) =>
+            typedEntities(kb, facts, cls, typeRelation, subClassRelation,
+              subclassClosure).union(observed).distinct()
+        }
+      case None => // schema layer over the cap: distributed closure path
+        val (doms, rngs) = relationSignatures(kb)
+        (if (wantDomain) doms else rngs).get(relation) match {
+          case None => observed
+          case Some(cls) =>
+            val types = kb.where(col("pred") === typeRelation)
               .select(col("subj"), col("obj"))
-            transitiveInstances(types, subs, cls)
-          } else types.where(col("obj") === cls)
-            .select(col("subj").as("entity")).distinct()
-        typed.union(observed).distinct()
+            val typed =
+              if (subclassClosure) {
+                val subs = kb.where(col("pred") === subClassRelation)
+                  .select(col("subj"), col("obj"))
+                transitiveInstances(types, subs, cls)
+              } else types.where(col("obj") === cls)
+                .select(col("subj").as("entity")).distinct()
+            typed.union(observed).distinct()
+        }
     }
   }
 
@@ -195,24 +280,39 @@ object Taxonomy {
     val functional =
       stats.functionality(relation) >= stats.inverseFunctionality(relation)
     val keyPos = if (functional) "subj" else "obj"
-    val (doms, rngs) = relationSignatures(kb)
-    (if (functional) doms else rngs).get(relation) match {
-      case None =>
-        kb.limit(0).select(lit(0L).as("n"), lit(0L).as("entities"))
-      case Some(cls) =>
-        val types = kb.where(col("pred") === typeRelation)
-          .select(col("subj"), col("obj"))
-        val typed =
-          if (subclassClosure) {
-            val subs = kb.where(col("pred") === subClassRelation)
+    def hist(typed: DataFrame) =
+      kb.where(col("pred") === relation)
+        .groupBy(col(keyPos).as("entity")).agg(count(lit(1)).as("n"))
+        .join(typed, "entity")
+        .groupBy("n").agg(count(lit(1)).as("entities"))
+    val empty = kb.limit(0).select(lit(0L).as("n"), lit(0L).as("entities"))
+    schemaFactsCapped(kb, subClassRelation) match {
+      case Some(facts) =>
+        val directParents = parentsOf(facts, "rdfs:subPropertyOf")
+        val declared = withFallback(
+          declaredOf(facts, if (functional) "rdfs:domain" else "rdfs:range"),
+          directParents)
+        declared.get(relation) match {
+          case None      => empty
+          case Some(cls) => hist(typedEntities(kb, facts, cls, typeRelation,
+            subClassRelation, subclassClosure))
+        }
+      case None => // schema layer over the cap: distributed closure path
+        val (doms, rngs) = relationSignatures(kb)
+        (if (functional) doms else rngs).get(relation) match {
+          case None => empty
+          case Some(cls) =>
+            val types = kb.where(col("pred") === typeRelation)
               .select(col("subj"), col("obj"))
-            transitiveInstances(types, subs, cls)
-          } else types.where(col("obj") === cls)
-            .select(col("subj").as("entity")).distinct()
-        kb.where(col("pred") === relation)
-          .groupBy(col(keyPos).as("entity")).agg(count(lit(1)).as("n"))
-          .join(typed, "entity")
-          .groupBy("n").agg(count(lit(1)).as("entities"))
+            val typed =
+              if (subclassClosure) {
+                val subs = kb.where(col("pred") === subClassRelation)
+                  .select(col("subj"), col("obj"))
+                transitiveInstances(types, subs, cls)
+              } else types.where(col("obj") === cls)
+                .select(col("subj").as("entity")).distinct()
+            hist(typed)
+        }
     }
   }
 }

@@ -154,10 +154,17 @@ object RuleApply {
     // target itself never outranks itself: its own row carries exactly
     // tconf — excluded from the strict branch by >, from the tie branch
     // by cand < entity.)
+    // the known-facts anti join is ALSO restricted to the test keys
+    // first: every cands row carries a test key (semi-join above), so
+    // known facts on never-tested keys cannot match — without this the
+    // anti join shuffles the ENTIRE KB per direction (at 100 TB the
+    // whole-graph shuffle; at sf0.1 a 330k-row one), for a candidate
+    // pool bounded by the test set. Result-identical.
+    val knownOnKeys = known.select("subj", "pred", "obj")
+      .join(testKeys, keys, "left_semi")
     val cands = preds
       .join(testKeys, keys, "left_semi")
-      .join(known.select("subj", "pred", "obj"),
-        Seq("subj", "pred", "obj"), "left_anti")
+      .join(knownOnKeys, Seq("subj", "pred", "obj"), "left_anti")
       .select(keys.map(col) ++
         Seq(col(entity).as("cand"), col("conf").as("cconf")): _*)
     val ranked = scored.where(col("tconf").isNotNull)
@@ -185,8 +192,13 @@ object RuleApply {
       .where(col("__iscand") === 0L && col("__below") > 0L)
       .select(keys.map(col) ++
         Seq(col("__id").as(entity), col("__below").as("nties")): _*)
-    scored.join(strict, Seq("subj", "pred", "obj"), "left")
-      .join(ties, Seq("subj", "pred", "obj"), "left")
+    // strict and ties are both ≤ |test| rows by construction (grouped /
+    // filtered onto test triples) — the same boundedness argument as the
+    // testKeys broadcast above; the hint keeps the final assembly from
+    // falling to sort-merge joins behind the checkpointed preds' unknown
+    // size stats
+    scored.join(broadcast(strict), Seq("subj", "pred", "obj"), "left")
+      .join(broadcast(ties), Seq("subj", "pred", "obj"), "left")
       .select(col("subj"), col("pred"), col("obj"),
         when(col("tconf").isNotNull,
           coalesce(col("nstrict"), lit(0L)) +

@@ -359,11 +359,12 @@ object RdfFacts {
     val ns = cols.map(c => triples.select(nsOf(col(c)).as("namespace")))
       .reduce(_ union _)
       .where(col("namespace").isNotNull).distinct()
-    val w = org.apache.spark.sql.expressions.Window.orderBy("namespace")
-    // vocabulary-sized table; the single-partition rank window is fine
-    val prefixTable = ns
-      .withColumn("prefix", concat(lit("p"), row_number().over(w) - 1))
-      .select("prefix", "namespace")
+    // scalable sorted rank — output-identical to a global
+    // `row_number() OVER (ORDER BY namespace)` but range-partitioned
+    // (the unpartitioned window was a latent single-task sort; a
+    // web-scale RDF corpus has millions of distinct namespaces)
+    val prefixTable = graft.kb.Dictionary.sortedRanks(ns, "namespace", "__rk")
+      .select(concat(lit("p"), col("__rk") - 1).as("prefix"), col("namespace"))
 
     def compact(df: DataFrame, c: String): DataFrame = {
       val withNs = df.withColumn("__ns", nsOf(col(c)))

@@ -41,6 +41,43 @@ class DedupCapSpec extends AnyFunSuite {
     assert(pairs(Similarity.DefaultMaxBucket) == pairs(0))
   }
 
+  test("ngramJaccard upper-bound pruning: capped two-phase equals brute force, hot shingles counted") {
+    // corpus with a HOT bigram ("zz zz" appears in every doc, df > cap)
+    // plus rare distinguishing bigrams; the r6 candidate pruning (jaccard
+    // upper bound from shared-capped counts + hot-shingle minima) must
+    // reproduce the capped-semantics reference exactly: pairs sharing at
+    // least one capped shingle, jaccard computed over FULL shingle sets.
+    val texts = Map(
+      1L -> "zz zz alpha beta gamma delta",
+      2L -> "zz zz alpha beta gamma epsilon",  // near-dup of 1
+      3L -> "zz zz alpha beta gamma delta",    // exact dup of 1
+      4L -> "zz zz omega psi chi phi",         // shares only the hot shingle with 1-3
+      5L -> "qq rr ss tt")                     // no hot shingle at all
+    val docs = docsDF(texts.toSeq.map { case (i, t) => (i, t, "s1", "en") })
+    val cap = 2 // "zz zz" has df 4 > cap; every other shingle df ≤ 2
+    def shingleSet(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      toks.sliding(2).map(_.mkString(" ")).toSet
+    }
+    val sh = texts.view.mapValues(shingleSet).toMap
+    val dfCount = sh.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = (for {
+      a <- texts.keys; b <- texts.keys if a < b
+      shared = sh(a) intersect sh(b)
+      if shared.exists(ng => dfCount(ng) <= cap) // capped-candidate rule
+      j = shared.size.toDouble / (sh(a) ++ sh(b)).size
+      if j >= 0.3
+    } yield (a, b, j)).toSet
+    val got = Dedup.ngramJaccard(docs, minJaccard = 0.3, maxShingleDF = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected, s"got $got expected $expected")
+    // sanity: (1,3) shares the rare "gamma delta" → candidate, jaccard 1.0;
+    // pairs sharing ONLY hot shingles (anything with doc 4) are not
+    // candidates — the documented capped-semantics recall trade, unchanged
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L && p._3 == 1.0))
+    assert(!got.exists(p => p._2 == 4L))
+  }
+
   test("degenerate corpus: one hot bucket produces O(n) star pairs, not n^2") {
     // 3000 exact duplicates share every minhash band signature — the
     // uncapped join would emit ~4 bands * 3000^2/2 pre-distinct pairs.

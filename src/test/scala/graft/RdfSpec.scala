@@ -203,4 +203,16 @@ class RdfSpec extends AnyFunSuite {
     assert(rows.contains((s"$pPeople:Luis", s"$pRel:site", "http://ex.org/")))
     assert(rows.contains((s"$pPeople:Luis", s"$pRel:age", s""""30"^^$pXsd:int""")))
   }
+
+  test("compactIris prefix ranking is scale-safe: no single-partition exchange in the plan") {
+    import spark.implicits._
+    // the r5 form ranked namespaces with a global row_number window — a
+    // one-task sort at web scale; the rank now rides
+    // Dictionary.sortedRanks (range-partitioned, output-identical)
+    val (_, prefixes) = RdfFacts.compactIris(Seq(
+      ("http://ex.org/people#A", "http://ex.org/rel/p", "http://ex.org/cities#B"))
+      .toDF("subj", "pred", "obj"))
+    val p = prefixes.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), s"global rank window survived:\n$p")
+  }
 }
