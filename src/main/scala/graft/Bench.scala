@@ -550,29 +550,22 @@ object Bench {
     // rerun costs its own sub-second runtime). All attempts are emitted
     // in "query_attempts" — nothing is hidden.
     val steadyFloors = Map(
-      // mining floors re-recorded after the r4 existential-dedup +
-      // level-merge work (BASELINE.md 2026-08-18 evening)
-      "kb_mined_rules" -> 8.0, "kb_mined_rules_d2" -> 4.8,
-      // pair-op family re-tightened to the 2026-08-20 06:16 full-sweep
-      // steady values (probe-stamped clean sweep window) — the r5
-      // localCheckpoint-once + capped-bucket work made these much
-      // faster and a stale-high floor never fires the rerun defense
-      "dedup_ngram_jaccard" -> 6.3, "sim_lsh_topk" -> 3.1,
-      "dedup_embedding" -> 2.6, "dedup_clusters" -> 3.2,
-      // kb_encoded re-recorded after the vocab localCheckpoint in
-      // Dictionary.sortedRanks (2026-08-20 filter run: 1.91 steady)
+      // floors re-tightened to the r6 optimization round's clean-window
+      // full-sweep steady values (2026-08-22 artifact: total 54.4 s,
+      // probes clean, zero reruns) — the candidate-pruning, sign-matrix
+      // and schema-collect work made several queries 2x+ faster and a
+      // stale-high floor never fires the rerun defense
+      "kb_mined_rules" -> 6.5, "kb_mined_rules_d2" -> 3.3,
+      "dedup_ngram_jaccard" -> 3.0, "sim_lsh_topk" -> 1.9,
+      "dedup_embedding" -> 1.5, "dedup_clusters" -> 2.6,
       "dedup_minhash_lsh" -> 1.5, "kb_encoded" -> 1.9,
       "dedup_simhash" -> 2.5, "dedup_exact" -> 1.5,
-      "dedup_simhash_clusters" -> 4.0, "sim_ivf_topk" -> 1.6,
-      "kb_domain_set" -> 1.6, "kb_histogram_domain" -> 1.6,
-      // link-prediction floors re-recorded after the r5 order-statistic
-      // tie form gained the test-key semi-join (BASELINE.md 2026-08-19
-      // 23:55 filter run: 2.88 / 2.85 steady)
-      "kb_rule_predictions" -> 0.9, "kb_link_prediction" -> 2.8,
-      "kb_link_prediction_maxplus" -> 2.8,
-      // r5 additions, re-tightened to 2026-08-20 06:16 sweep steady
+      "dedup_simhash_clusters" -> 3.4, "sim_ivf_topk" -> 1.2,
+      "kb_domain_set" -> 0.9, "kb_histogram_domain" -> 1.2,
+      "kb_rule_predictions" -> 0.9, "kb_link_prediction" -> 2.5,
+      "kb_link_prediction_maxplus" -> 2.5,
       "kb_witness_subgraph" -> 0.5, "kb_transitive_type_inline" -> 0.8,
-      "kb_domain_set_direct" -> 1.0)
+      "kb_domain_set_direct" -> 0.6)
     val defaultFloor = 1.5
     val maxReruns = sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_RERUNS", "2").toInt
     val results = sweep.map { case (name, fn) =>
