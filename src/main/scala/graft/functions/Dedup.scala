@@ -209,21 +209,33 @@ object Dedup {
       sig.select(col("doc_id"), lit(b).as("band"),
         concat_ws(":", cols.map(col): _*).as("bsig"))
     }.reduce(_ union _)
-    cappedBucketPairs(bands, Seq("band", "bsig"), "doc_id", maxBucket)
+    // bands are narrow projections of the checkpointed `sig` — skip the
+    // bucket join's internal re-materialization (one job less)
+    cappedBucketPairs(bands, Seq("band", "bsig"), "doc_id", maxBucket,
+        materialize = false)
       .toDF("doc_a", "doc_b")
   }
 
   /** Shared capped bucket-join: all-pairs within buckets of occupancy ≤
     * `maxBucket`, star-to-representative pairs within larger ones (see
-    * [[DefaultMaxBucket]]). Returns distinct (id_a < id_b) pairs. */
+    * [[DefaultMaxBucket]]). Returns distinct (id_a < id_b) pairs.
+    *
+    * `materialize = false` skips the internal checkpoint — correct ONLY
+    * when `rows0` is a narrow projection of an already-materialized
+    * table (the minhash/simhash band stacks over checkpointed signature
+    * tables), where re-deriving it per consumer is a cheap cache read
+    * and the extra materialization job is pure latency. Callers whose
+    * bucket rows embed real computation or a fresh scan keep the
+    * default. Purely physical — output identical either way. */
   private[graft] def cappedBucketPairs(
-      rows0: DataFrame, keys: Seq[String], id: String, maxBucket: Int): DataFrame = {
+      rows0: DataFrame, keys: Seq[String], id: String, maxBucket: Int,
+      materialize: Boolean = true): DataFrame = {
     // the bucket rows feed the occupancy stats, BOTH sides of the pair
     // self-join and the star overflow; materialize them once so whatever
     // signature computation produced them (minhash aggregation, hyperplane
-    // md5 folds) runs once, not once per consumer (same localCheckpoint-
+    // sign folds) runs once, not once per consumer (same localCheckpoint-
     // over-persist rationale as ngramJaccard above).
-    val rows = rows0.localCheckpoint(true)
+    val rows = if (materialize) rows0.localCheckpoint(true) else rows0
     val allPairs = (l: DataFrame) =>
       l.as("a").join(l.as("b"),
           keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
@@ -415,9 +427,11 @@ object Dedup {
       exactMap.where(col("doc_id") === col("keeper")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     val sh = simhash(repDocs).localCheckpoint(true)
+    // band rows are narrow shifts/masks of the checkpointed `sh`
     val cand = cappedBucketPairs(
       simhashBands(sh).select("doc_id", "band", "bv"),
-      Seq("band", "bv"), "doc_id", maxBucket).toDF("doc_a", "doc_b")
+      Seq("band", "bv"), "doc_id", maxBucket,
+      materialize = false).toDF("doc_a", "doc_b")
     val verified = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("simhash").as("ha")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("simhash").as("hb")), "doc_b")
